@@ -1,0 +1,108 @@
+"""Concatenation ops: elementwise cat and full-column join.
+
+TPU-native re-design of cpp/src/strings/combine.cu (cat:31, join:291).
+Null parity: cat -> null when either side is null and no na_rep
+(combine.cu:66-69); join skips null rows (and their delimiter) unless na_rep
+(combine.cu:320-345); no trailing delimiter.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..column import StringColumn, build_column
+from . import layout
+
+
+def _bytes_arr(s: str | None):
+    b = (s or "").encode("utf-8")
+    return jnp.asarray(np.frombuffer(b, dtype=np.uint8)), len(b)
+
+
+def cat(
+    col: StringColumn,
+    others: StringColumn,
+    sep: str | None = None,
+    na_rep: str | None = None,
+) -> StringColumn:
+    if others.size != col.size:
+        raise ValueError("nvstrings.cat sizes do not match")
+    sep_a, sep_n = _bytes_arr(sep)
+    nar_a, nar_n = _bytes_arr(na_rep)
+    have_nar = na_rep is not None
+
+    llen, rlen = col.lengths(), others.lengths()
+    lval, rval = col.validity, others.validity
+    out_null = (~lval | ~rval) & (not have_nar)
+    lsz = jnp.where(lval, llen, nar_n if have_nar else 0)
+    rsz = jnp.where(rval, rlen, nar_n if have_nar else 0)
+    sizes = jnp.where(out_null, 0, lsz + sep_n + rsz)
+    validity = ~out_null
+
+    lstart, rstart = col.offsets[:-1], others.offsets[:-1]
+
+    def produce(rows, k, valid):
+        ls, rs = lsz[rows], rsz[rows]
+        lv, rv = lval[rows], rval[rows]
+        # regions: [0,ls) left, [ls,ls+sep_n) sep, [ls+sep_n, ...) right
+        in_left = k < ls
+        in_sep = (k >= ls) & (k < ls + sep_n)
+        kl = jnp.clip(k, 0, None)
+        left_b = jnp.where(
+            lv,
+            layout.gather_bytes(col.data, lstart[rows] + kl),
+            nar_a[jnp.clip(kl, 0, max(nar_n - 1, 0))] if nar_n else jnp.uint8(0),
+        )
+        ks = jnp.clip(k - ls, 0, max(sep_n - 1, 0))
+        sep_b = sep_a[ks] if sep_n else jnp.uint8(0)
+        kr = jnp.clip(k - ls - sep_n, 0, None)
+        right_b = jnp.where(
+            rv,
+            layout.gather_bytes(others.data, rstart[rows] + kr),
+            nar_a[jnp.clip(kr, 0, max(nar_n - 1, 0))] if nar_n else jnp.uint8(0),
+        )
+        return jnp.where(in_left, left_b, jnp.where(in_sep, sep_b, right_b))
+
+    return build_column(sizes, validity, produce)
+
+
+def join(col: StringColumn, sep: str = "", na_rep: str | None = None) -> StringColumn:
+    """Reduce the whole column to a single-row column (combine.cu join:291)."""
+    sep_a, sep_n = _bytes_arr(sep)
+    nar_a, nar_n = _bytes_arr(na_rep)
+    have_nar = na_rep is not None
+
+    n = col.size
+    lens = col.lengths()
+    body = jnp.where(col.validity, lens, nar_n if have_nar else 0)
+    counted = col.validity | have_nar
+    # delimiter after every counted row except the last counted one
+    idx = jnp.arange(n, dtype=jnp.int32)
+    last_counted = jnp.max(jnp.where(counted, idx, -1)) if n else jnp.int32(-1)
+    dsz = jnp.where(counted & (idx != last_counted), sep_n, 0)
+    piece = body + dsz
+    # one output row: its size is the sum
+    sizes = jnp.sum(piece, keepdims=True).astype(jnp.int32)
+    validity = jnp.ones(1, jnp.bool_)
+
+    piece_off = jnp.zeros(n + 1, jnp.int32).at[1:].set(jnp.cumsum(piece))
+    starts = col.offsets[:-1]
+
+    def produce(rows, k, valid):
+        # k is position within the single giant row; find source piece
+        src = jnp.searchsorted(piece_off, k, side="right").astype(jnp.int32) - 1
+        src = jnp.clip(src, 0, max(n - 1, 0))
+        kk = k - piece_off[src]
+        b = body[src]
+        in_body = kk < b
+        str_b = jnp.where(
+            col.validity[src],
+            layout.gather_bytes(col.data, starts[src] + jnp.clip(kk, 0, None)),
+            nar_a[jnp.clip(kk, 0, max(nar_n - 1, 0))] if nar_n else jnp.uint8(0),
+        )
+        kd = jnp.clip(kk - b, 0, max(sep_n - 1, 0))
+        sep_b = sep_a[kd] if sep_n else jnp.uint8(0)
+        return jnp.where(in_body, str_b, sep_b)
+
+    return build_column(sizes, validity, produce)

@@ -1,0 +1,202 @@
+"""UTF-8 layout machinery: the TPU replacement for the reference's L1 runtime.
+
+The reference walks per-string 2-bit char-length tables with sequential loops
+(`custring_view::offset_for_char_pos`, cpp/src/custring_view.inl:47-143).
+Here the whole column's char structure is computed with vectorized masks,
+cumsums and gathers:
+
+    char_start[j] = (data[j] & 0xC0) != 0x80        (UTF-8 non-continuation)
+    char index of byte j = cumsum(char_start)[j]
+    byte position of char c = scatter-compact of start positions
+
+Everything is O(total_bytes) data-parallel work; the ASCII fast path of the
+reference (chars == bytes) falls out for free because the cumsum is identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..column import StringColumn
+from ..config import bucket_bytes
+
+
+def _cache(col: StringColumn) -> dict:
+    c = col.__dict__.get("_cache")
+    if c is None:
+        c = {}
+        object.__setattr__(col, "_cache", c)
+    return c
+
+
+def valid_byte_mask(col: StringColumn) -> jax.Array:
+    """bool[capacity]: True for real (non-padding) byte positions."""
+    j = jnp.arange(col.capacity, dtype=jnp.int32)
+    return j < col.offsets[-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class CharMap:
+    """Column-wide character index structures (all shapes static).
+
+    cs0          int32[capacity+1]  chars in bytes [0, j)
+    char_offsets int32[rows+1]      char index of each row start
+    char_pos     int32[capacity]    byte position of the c-th char
+                                    (clamped for c >= total_chars)
+    """
+
+    cs0: jax.Array
+    char_offsets: jax.Array
+    char_pos: jax.Array
+
+    def nchars(self) -> jax.Array:
+        """Characters per row, int32[rows]."""
+        return self.char_offsets[1:] - self.char_offsets[:-1]
+
+
+@jax.jit
+def _char_map(data, offsets):
+    capacity = data.shape[0]
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    real = j < offsets[-1]
+    starts = ((data & 0xC0) != 0x80) & real
+    cs0 = jnp.zeros(capacity + 1, jnp.int32).at[1:].set(
+        jnp.cumsum(starts.astype(jnp.int32))
+    )
+    char_offsets = cs0[offsets]
+    # Compact: char_pos[cs0[j]] = j for start bytes (dummy slot for others).
+    idx = jnp.where(starts, cs0[:-1], capacity)
+    char_pos = (
+        jnp.zeros(capacity + 1, jnp.int32).at[idx].set(j)[:capacity]
+    )
+    return cs0, char_offsets, char_pos
+
+
+def char_map(col: StringColumn) -> CharMap:
+    c = _cache(col)
+    if "char_map" not in c:
+        cs0, char_offsets, char_pos = _char_map(col.data, col.offsets)
+        c["char_map"] = CharMap(cs0, char_offsets, char_pos)
+    return c["char_map"]
+
+
+def char_counts(col: StringColumn) -> jax.Array:
+    """Characters per row (nvstrings.len semantics, before null masking)."""
+    return char_map(col).nchars()
+
+
+def char_width_from_lead(b: jax.Array) -> jax.Array:
+    """UTF-8 sequence length from its first byte (1..4), int32.
+
+    Mirrors custring_view bytes_in_char (cpp/src/custring_view.inl).
+    """
+    b = b.astype(jnp.int32)
+    return (
+        1
+        + (b >= 0xC0).astype(jnp.int32)
+        + (b >= 0xE0).astype(jnp.int32)
+        + (b >= 0xF0).astype(jnp.int32)
+    )
+
+
+@jax.jit
+def _codepoints(data, char_pos, total_chars_cap):
+    """Decode codepoint for each char index c (garbage past total chars)."""
+    capacity = data.shape[0]
+    p = char_pos
+    b0 = data[p].astype(jnp.int32)
+    b1 = data[jnp.minimum(p + 1, capacity - 1)].astype(jnp.int32) & 0x3F
+    b2 = data[jnp.minimum(p + 2, capacity - 1)].astype(jnp.int32) & 0x3F
+    b3 = data[jnp.minimum(p + 3, capacity - 1)].astype(jnp.int32) & 0x3F
+    w = char_width_from_lead(b0)
+    cp1 = b0
+    cp2 = ((b0 & 0x1F) << 6) | b1
+    cp3 = ((b0 & 0x0F) << 12) | (b1 << 6) | b2
+    cp4 = ((b0 & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3
+    return jnp.select([w == 1, w == 2, w == 3], [cp1, cp2, cp3], cp4)
+
+
+def codepoints(col: StringColumn) -> jax.Array:
+    """int32[capacity]: codepoint of the c-th character of the column.
+
+    Only indices < total_chars are meaningful; the caller masks with the
+    CharMap.  (chars <= bytes, so capacity bounds the char count — no sync.)
+    """
+    c = _cache(col)
+    if "codepoints" not in c:
+        cm = char_map(col)
+        c["codepoints"] = _codepoints(col.data, cm.char_pos, col.capacity)
+    return c["codepoints"]
+
+
+def encode_codepoints(cp: jax.Array):
+    """codepoint -> (bytes uint8[n,4], width int32[n]); inverse of decode.
+
+    Mirrors custring_view Char_to_char (cpp/src/custring_view.inl).
+    """
+    cp = cp.astype(jnp.int32)
+    w = jnp.select(
+        [cp < 0x80, cp < 0x800, cp < 0x10000],
+        [1, 2, 3],
+        4,
+    ).astype(jnp.int32)
+    b1_1 = cp
+    b1_2 = 0xC0 | (cp >> 6)
+    b1_3 = 0xE0 | (cp >> 12)
+    b1_4 = 0xF0 | (cp >> 18)
+    byte0 = jnp.select([w == 1, w == 2, w == 3], [b1_1, b1_2, b1_3], b1_4)
+    byte1 = jnp.select(
+        [w == 2, w == 3],
+        [0x80 | (cp & 0x3F), 0x80 | ((cp >> 6) & 0x3F)],
+        0x80 | ((cp >> 12) & 0x3F),
+    )
+    byte2 = jnp.where(w == 3, 0x80 | (cp & 0x3F), 0x80 | ((cp >> 6) & 0x3F))
+    byte3 = 0x80 | (cp & 0x3F)
+    out = jnp.stack([byte0, byte1, byte2, byte3], axis=-1).astype(jnp.uint8)
+    return out, w
+
+
+def max_row_bytes(col: StringColumn) -> int:
+    """Max row byte-length, bucketed for compile-cache stability (syncs)."""
+    c = _cache(col)
+    if "max_row_bytes" not in c:
+        m = int(jnp.max(col.lengths())) if col.size else 0
+        c["max_row_bytes"] = max(bucket_bytes(m), 8)
+    return c["max_row_bytes"]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _padded_view(data, offsets, width):
+    nrows = offsets.shape[0] - 1
+    capacity = data.shape[0]
+    starts = offsets[:-1][:, None]
+    lens = (offsets[1:] - offsets[:-1])[:, None]
+    k = jnp.arange(width, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(starts + k, capacity - 1)
+    vals = data[idx]
+    return jnp.where(k < lens, vals, jnp.uint8(0))
+
+
+def padded_view(col: StringColumn, width: int | None = None) -> jax.Array:
+    """uint8[rows, width] zero-padded row-major view (the Pallas tile input).
+
+    The reference reduced divergence by sorting strings by length
+    (cpp/src/strings/NVStringsImpl.cu:255-270); the TPU analogue is this
+    dense padded view, bucketed by max length.
+    """
+    if width is None:
+        width = max_row_bytes(col)
+    c = _cache(col)
+    key = ("padded", width)
+    if key not in c:
+        c[key] = _padded_view(col.data, col.offsets, width)
+    return c[key]
+
+
+def gather_bytes(data: jax.Array, idx: jax.Array) -> jax.Array:
+    """Safe byte gather with clamped indices."""
+    return data[jnp.clip(idx, 0, data.shape[0] - 1)]
