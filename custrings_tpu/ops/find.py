@@ -128,7 +128,7 @@ def contains(col: StringColumn, pat) -> jax.Array:
     return pos >= 0
 
 
-@partial(jax.jit, static_argnums=())
+@partial(jax.jit, static_argnums=(2,))
 def _prefix_suffix(col: StringColumn, pat, suffix: bool):
     m = pat.shape[0]
     lens = col.lengths()

@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..column import StringColumn
+from ..column import StringColumn, row_ids_from_offsets  # noqa: F401 (re-export)
 from ..config import bucket_bytes
 
 

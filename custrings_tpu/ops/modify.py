@@ -1,0 +1,282 @@
+"""Modify ops: literal replace, slice_replace, insert, fillna, translate.
+
+TPU-native re-design of cpp/src/strings/modify.cu (slice_replace:35,
+replace:109, translate:302, fillna:395/444, insert:494).
+
+Literal replace is the interesting one: the reference scans left-to-right
+per thread taking non-overlapping matches greedily.  Vectorized: raw match
+positions come from rolled compares; greedy non-overlap selection is exact
+for patterns with no self-overlap (no proper border — checked on host), and
+otherwise runs an associative function-composition scan over the cover state.
+The quota `n` then keeps the first n selected matches per row (the greedy
+pick sequence is prefix-stable in n).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..column import StringColumn, build_column, cumsum0
+from ..config import bucket_bytes
+from . import charwise, layout, substr
+from .find import _match_mask, _pat_array
+
+
+def _has_border(pat: bytes) -> bool:
+    """True if some proper prefix equals a suffix (matches can overlap)."""
+    for k in range(1, len(pat)):
+        if pat[:k] == pat[-k:]:
+            return True
+    return False
+
+
+def _greedy_select(match: jax.Array, m: int, bordered: bool) -> jax.Array:
+    """Select non-overlapping matches left-to-right (within whole buffer;
+    match[] is already row-fenced so matches never span rows)."""
+    if m <= 1 or not bordered:
+        return match
+    # cover-state scan: s = remaining covered bytes; pick iff s==0 and match.
+    # Represent each byte's transition on s in {0..m-1} as a vector and
+    # compose with associative_scan (gather composition).
+    B = match.shape[0]
+    dom = jnp.arange(m, dtype=jnp.int32)  # possible incoming states
+
+    # transition for byte j: if s==0 and match[j] -> m-1 else max(s-1,0)
+    def trans(mj):
+        dec = jnp.maximum(dom - 1, 0)
+        t0 = jnp.where((dom == 0) & mj, m - 1, dec)
+        return t0
+
+    T = jax.vmap(trans)(match)  # [B, m]
+
+    def compose(a, b):
+        # apply a then b: (b o a)[s] = b[a[s]]
+        return jnp.take_along_axis(b, a, axis=1)
+
+    comp = jax.lax.associative_scan(compose, T)  # comp[j] = T_j o ... o T_0
+    # incoming state at byte j = comp[j-1][0]
+    s_in = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), comp[:-1, 0].astype(jnp.int32)]
+    )
+    return match & (s_in == 0)
+
+
+def replace_literal(
+    col: StringColumn, pat, repl, n: int = -1
+) -> StringColumn:
+    pat_b = pat.encode("utf-8") if isinstance(pat, str) else bytes(pat)
+    repl_b = (repl or "").encode("utf-8") if not isinstance(repl, bytes) else repl
+    m, rl = len(pat_b), len(repl_b)
+    if m == 0:
+        return col
+    p = _pat_array(pat_b)
+    r = (
+        jnp.asarray(np.frombuffer(repl_b, dtype=np.uint8))
+        if rl
+        else jnp.zeros(0, jnp.uint8)
+    )
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    rows = layout.row_ids_from_offsets(col.offsets, cap)
+    row_end = col.offsets[1:][rows]
+    match = (
+        _match_mask(col.data, p)
+        & (j + m <= row_end)
+        & layout.valid_byte_mask(col)
+    )
+    picked = _greedy_select(match, m, _has_border(pat_b))
+    if n >= 0:
+        # rank of pick within row
+        pk0 = jnp.cumsum(picked.astype(jnp.int32))
+        row_base = jnp.concatenate([jnp.zeros(1, jnp.int32), pk0])[
+            col.offsets[:-1][rows]
+        ]
+        rank = pk0 - row_base  # 1-based rank at pick positions
+        picked = picked & (rank <= n)
+
+    # covered[j]: j lies inside a picked match
+    cov = jnp.zeros(cap + 1, jnp.int32)
+    cov = cov.at[jnp.where(picked, j, cap)].add(1)
+    cov = cov.at[jnp.where(picked, jnp.minimum(j + m, cap), cap)].add(-1)
+    inside = jnp.cumsum(cov[:cap]) > 0
+
+    picks_before0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+    )
+    covered_before0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(inside.astype(jnp.int32))]
+    )
+    row_start = col.offsets[:-1][rows]
+    picks_in_row_before = picks_before0[:cap] - picks_before0[row_start]
+    covered_in_row_before = covered_before0[:cap] - covered_before0[row_start]
+
+    # output sizes
+    lens = col.lengths()
+    picks_per_row = (
+        jnp.zeros(col.size, jnp.int32).at[rows].add(picked.astype(jnp.int32))
+    )
+    sizes = lens + picks_per_row * (rl - m)
+    out_offsets = cumsum0(sizes)
+    total = int(out_offsets[-1])
+    bcap = bucket_bytes(total)
+
+    # scatter copied bytes
+    out_pos_copy = (
+        out_offsets[:-1][rows]
+        + (j - row_start)
+        - covered_in_row_before
+        + picks_in_row_before * rl
+    )
+    keep = (~inside) & layout.valid_byte_mask(col)
+    data = jnp.zeros(bcap + 1, jnp.uint8)
+    data = data.at[jnp.where(keep, out_pos_copy, bcap)].set(
+        jnp.where(keep, col.data, jnp.uint8(0))
+    )
+    # scatter replacement bytes at picked match positions
+    base_out = (
+        out_offsets[:-1][rows]
+        + (j - row_start)
+        - covered_in_row_before
+        + picks_in_row_before * rl
+    )
+    for t in range(rl):
+        data = data.at[jnp.where(picked, base_out + t, bcap)].set(
+            jnp.where(picked, r[t], jnp.uint8(0))
+        )
+    return StringColumn(data[:bcap], out_offsets, col.validity)
+
+
+def fillna_scalar(col: StringColumn, repl: str) -> StringColumn:
+    """Null rows become `repl` (modify.cu fillna:395)."""
+    b = repl.encode("utf-8")
+    rb = _pat_array(b) if b else jnp.zeros(0, jnp.uint8)
+    lens = col.lengths()
+    sizes = jnp.where(col.validity, lens, len(b))
+    starts = col.offsets[:-1]
+
+    def produce(rows, k, valid):
+        src = layout.gather_bytes(col.data, starts[rows] + k)
+        if len(b):
+            rbyte = rb[jnp.clip(k, 0, len(b) - 1)]
+        else:
+            rbyte = jnp.uint8(0)
+        return jnp.where(col.validity[rows], src, rbyte)
+
+    return build_column(sizes, jnp.ones(col.size, jnp.bool_), produce)
+
+
+def fillna_column(col: StringColumn, repl: StringColumn) -> StringColumn:
+    """Null rows take the corresponding row of `repl` (modify.cu fillna:444)."""
+    lens = col.lengths()
+    rlens = repl.lengths()
+    use_repl = ~col.validity
+    sizes = jnp.where(use_repl, rlens, lens)
+    validity = jnp.where(use_repl, repl.validity, col.validity)
+    starts, rstarts = col.offsets[:-1], repl.offsets[:-1]
+
+    def produce(rows, k, valid):
+        a = layout.gather_bytes(col.data, starts[rows] + k)
+        b = layout.gather_bytes(repl.data, rstarts[rows] + k)
+        return jnp.where(use_repl[rows], b, a)
+
+    return build_column(sizes, validity, produce)
+
+
+def insert(col: StringColumn, start: int, repl: str) -> StringColumn:
+    """Insert `repl` at char position `start` (modify.cu insert:494);
+    start=-1 means append at end."""
+    return slice_replace(col, start, start, repl, insert_mode=True)
+
+
+def slice_replace(
+    col: StringColumn, start, stop, repl: str | None, insert_mode: bool = False
+) -> StringColumn:
+    """Replace chars [start, stop) with repl (modify.cu slice_replace:35)."""
+    b = (repl or "").encode("utf-8")
+    rb = _pat_array(b) if b else jnp.zeros(0, jnp.uint8)
+    rl = len(b)
+    n = col.size
+    nch = layout.char_counts(col)
+    s_arr = jnp.full(n, int(start if start is not None else 0), jnp.int32)
+    if insert_mode:
+        s_arr = jnp.where(s_arr < 0, nch, jnp.minimum(s_arr, nch))
+        e_arr = s_arr
+    else:
+        e_arr = jnp.full(n, -1 if stop is None else int(stop), jnp.int32)
+        e_arr = jnp.where(e_arr < 0, nch, jnp.minimum(e_arr, nch))
+        s_arr = jnp.minimum(jnp.maximum(s_arr, 0), nch)
+        e_arr = jnp.maximum(e_arr, s_arr)
+    cm, s, e, sb, eb = substr._char_window(col, s_arr, e_arr, raw=True)
+    # raw window clamps e>=s? _char_window raw clamps to [0, nch]
+    lens = col.lengths()
+    head = sb - col.offsets[:-1]
+    tail = col.offsets[1:] - eb
+    sizes = head + rl + tail
+    starts = col.offsets[:-1]
+
+    def produce(rows, k, valid):
+        h = head[rows]
+        in_head = k < h
+        in_repl = (k >= h) & (k < h + rl)
+        head_b = layout.gather_bytes(col.data, starts[rows] + k)
+        rep_b = rb[jnp.clip(k - h, 0, max(rl - 1, 0))] if rl else jnp.uint8(0)
+        tail_b = layout.gather_bytes(col.data, eb[rows] + jnp.clip(k - h - rl, 0, None))
+        return jnp.where(in_head, head_b, jnp.where(in_repl, rep_b, tail_b))
+
+    return build_column(sizes, col.validity, produce)
+
+
+def translate(col: StringColumn, table) -> StringColumn:
+    """Map chars through a codepoint table (modify.cu translate:302).
+
+    `table` is a dict {ord/char: ord/char/None} or list of pairs; None
+    deletes the character (matches str.translate semantics; the reference
+    maps to the given values only).
+    """
+    if isinstance(table, dict):
+        items = table.items()
+    else:
+        items = table
+    src, dst = [], []
+    for k, v in items:
+        kk = ord(k) if isinstance(k, str) else int(k)
+        if v is None:
+            vv = -1
+        else:
+            vv = ord(v) if isinstance(v, str) else int(v)
+        src.append(kk)
+        dst.append(vv)
+    src_a = jnp.asarray(src or [0], jnp.int32)
+    dst_a = jnp.asarray(dst or [0], jnp.int32)
+
+    cm = layout.char_map(col)
+    cps = layout.codepoints(col)
+    ncap = cps.shape[0]
+    mapped = cps
+    for i in range(len(src)):
+        mapped = jnp.where(cps == src_a[i], dst_a[i], mapped)
+    deleted = mapped < 0
+    kept = ~deleted
+    # per-row kept counts
+    c = jnp.arange(ncap, dtype=jnp.int32)
+    crows = layout.row_ids_from_offsets(cm.char_offsets, ncap)
+    cvalid = c < cm.cs0[-1]
+    kv = kept & cvalid
+    counts = jnp.zeros(col.size, jnp.int32).at[crows].add(kv.astype(jnp.int32))
+    # compact mapping: out char index -> in char index
+    kpos0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(kv.astype(jnp.int32))]
+    )
+    in_for_out = jnp.zeros(ncap + 1, jnp.int32).at[
+        jnp.where(kv, kpos0[:-1], ncap)
+    ].set(c)[:ncap]
+
+    def cp_fn(rows, oc, valid):
+        # oc-th kept char of row = global kept index kpos0[char_offsets[row]] + oc
+        base = kpos0[jnp.minimum(cm.char_offsets[:-1][rows], ncap)]
+        g = in_for_out[jnp.clip(base + oc, 0, ncap - 1)]
+        return mapped[jnp.clip(g, 0, ncap - 1)]
+
+    return charwise.build_charwise(col, counts, cp_fn)

@@ -1,0 +1,156 @@
+"""Padding ops: repeat/pad/ljust/center/rjust/zfill/wrap.
+
+TPU-native re-design of cpp/src/strings/pad.cu (repeat:31, pad:87, ljust:98,
+center:160, rjust:228, zfill:290, wrap:361).  Widths are in characters; the
+fill character may be multi-byte.  wrap's sequential greedy line-breaking is a
+lax.scan over the padded char matrix (rows stay fully parallel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..column import StringColumn, build_column
+from . import layout
+
+
+def repeat(col: StringColumn, reps: int) -> StringColumn:
+    reps = max(int(reps), 1)
+    lens = col.lengths()
+    sizes = lens * reps
+    starts = col.offsets[:-1]
+
+    def produce(rows, k, valid):
+        src = starts[rows] + k % jnp.maximum(lens[rows], 1)
+        return layout.gather_bytes(col.data, src)
+
+    return build_column(sizes, col.validity, produce)
+
+
+def _fill_info(fillchar: str | None):
+    ch = fillchar if fillchar else " "
+    b = ch.encode("utf-8")
+    return jnp.asarray(list(b), jnp.uint8), len(b)
+
+
+def _pad_impl(col: StringColumn, width: int, fillchar, left_of) -> StringColumn:
+    """left_of(pad_total) -> chars of padding placed before the string."""
+    fill, fb = _fill_info(fillchar)
+    nch = layout.char_counts(col)
+    lens = col.lengths()
+    pad = jnp.maximum(int(width) - nch, 0)
+    lpad = left_of(pad)
+    rpad = pad - lpad
+    sizes = lens + pad * fb
+    starts = col.offsets[:-1]
+
+    def produce(rows, k, valid):
+        lp = lpad[rows] * fb
+        body = lens[rows]
+        in_left = k < lp
+        in_body = (k >= lp) & (k < lp + body)
+        fill_b = fill[k % fb]
+        src = layout.gather_bytes(col.data, starts[rows] + jnp.clip(k - lp, 0, None))
+        return jnp.where(in_body, src, fill_b)
+
+    return build_column(sizes, col.validity, produce)
+
+
+def ljust(col, width, fillchar=None):
+    return _pad_impl(col, width, fillchar, lambda p: jnp.zeros_like(p))
+
+
+def rjust(col, width, fillchar=None):
+    return _pad_impl(col, width, fillchar, lambda p: p)
+
+
+def center(col, width, fillchar=None):
+    return _pad_impl(col, width, fillchar, lambda p: p // 2)
+
+
+def pad(col, width, side="left", fillchar=None):
+    if side == "right":
+        return ljust(col, width, fillchar)
+    if side == "both":
+        return center(col, width, fillchar)
+    return rjust(col, width, fillchar)
+
+
+def zfill(col: StringColumn, width: int) -> StringColumn:
+    """Left-pad with '0' after any leading sign (pad.cu zfill:290)."""
+    lens = col.lengths()
+    nch = layout.char_counts(col)
+    pad_n = jnp.maximum(int(width) - nch, 0)
+    sizes = lens + pad_n
+    starts = col.offsets[:-1]
+    first = layout.gather_bytes(col.data, starts)
+    has_sign = ((first == ord("+")) | (first == ord("-"))) & (lens > 0)
+
+    def produce(rows, k, valid):
+        sign = has_sign[rows]
+        p = pad_n[rows]
+        # regions: [0, sign) sign byte, [sign, sign+p) zeros, then rest
+        sgn_b = layout.gather_bytes(col.data, starts[rows])
+        in_sign = sign & (k == 0)
+        zero_end = jnp.where(sign, 1, 0) + p
+        in_zero = (~in_sign) & (k < zero_end)
+        src_k = k - p
+        src = layout.gather_bytes(col.data, starts[rows] + jnp.clip(src_k, 0, None))
+        return jnp.where(
+            in_sign, sgn_b, jnp.where(in_zero, jnp.uint8(ord("0")), src)
+        )
+
+    return build_column(sizes, col.validity, produce)
+
+
+def wrap(col: StringColumn, width: int) -> StringColumn:
+    """Greedy line-wrap: whitespace -> ' ', break at last space once a line
+    exceeds `width` chars (pad.cu wrap:361).  Size-preserving."""
+    w = layout.max_row_bytes(col)
+    cm = layout.char_map(col)
+    cps = layout.codepoints(col)
+    ncap = cps.shape[0]
+    n = col.size
+    max_chars = w  # chars <= bytes
+    co = cm.char_offsets[:-1]
+    nch = cm.nchars()
+
+    # char matrix [n, max_chars]
+    j = jnp.arange(max_chars, dtype=jnp.int32)[None, :]
+    g = jnp.clip(co[:, None] + j, 0, ncap - 1)
+    cmat = jnp.where(j < nch[:, None], cps[g], -1)
+    is_ws = (cmat >= 0) & (cmat <= ord(" "))
+
+    def step(state, x):
+        spos, last_space = state
+        pos, ws = x
+        last_space = jnp.where(ws, pos, last_space)
+        brk = ((pos - spos) >= width) & (last_space >= 0)
+        newline_at = jnp.where(brk, last_space, -1)
+        spos = jnp.where(brk, last_space, spos)
+        last_space = jnp.where(brk, -1, last_space)
+        return (spos, last_space), newline_at
+
+    init = (jnp.zeros(n, jnp.int32), jnp.full(n, -1, jnp.int32))
+    pos_seq = jnp.arange(max_chars, dtype=jnp.int32)
+    _, newline_marks = jax.lax.scan(
+        step, init, (pos_seq, is_ws.T)
+    )  # [max_chars, n]
+    valid_marks = newline_marks >= 0
+    rowsb = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], newline_marks.shape
+    )
+    nl = jnp.zeros((n, max_chars), jnp.bool_).at[
+        rowsb.ravel(), jnp.clip(newline_marks, 0, max_chars - 1).ravel()
+    ].max(valid_marks.ravel())
+
+    out_cmat = jnp.where(is_ws, ord(" "), cmat)
+    out_cmat = jnp.where(nl, ord("\n"), out_cmat)
+
+    from . import charwise
+
+    def cp_fn(rows, oc, valid):
+        return out_cmat[rows, jnp.clip(oc, 0, max_chars - 1)]
+
+    return charwise.build_charwise(col, nch, cp_fn)

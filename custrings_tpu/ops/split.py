@@ -1,0 +1,356 @@
+"""Split family: split/rsplit (record + column), partition, rpartition.
+
+TPU-native re-design of cpp/src/strings/split.cu (split_record:125,
+whitespace:270, rsplit_record:435/537, column split:734/863/960/1055,
+partition:1165, rpartition:1268).  Pandas semantics are documented in the
+reference (split.cu:89-123, whitespace :225-260) and reproduced here:
+  - delimiter split of "" -> [""] (one empty token); null -> no tokens
+  - whitespace split collapses runs, drops leading/trailing ws; with
+    maxsplit, the tail token keeps the rest of the string verbatim
+  - rsplit applies the limit from the right
+
+The ragged result is one flattened token StringColumn plus an int32[rows+1]
+row->token-range offsets array (TokenColumn): an Arrow "list of strings"
+column.  Delimiter occurrences come from the vectorized greedy matcher shared
+with replace; token extents are scattered by (row, token-rank) — no host
+ping-pong until the caller materializes per-row objects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..column import (
+    StringColumn,
+    build_column,
+    cumsum0,
+    row_ids_from_offsets,
+)
+from ..config import bucket_bytes
+from . import layout
+from .find import _match_mask, _pat_array
+from .modify import _greedy_select, _has_border
+
+_INF = 1 << 28
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenColumn:
+    """Ragged split result: flattened tokens + per-input-row token ranges."""
+
+    tokens: StringColumn
+    row_offsets: jax.Array  # int32[rows+1]
+    row_validity: jax.Array  # bool[rows]
+
+    @property
+    def nrows(self) -> int:
+        return self.row_offsets.shape[0] - 1
+
+    def counts(self) -> jax.Array:
+        return self.row_offsets[1:] - self.row_offsets[:-1]
+
+
+def _tokens_from_extents(col, tok_off, starts, ends, total_tokens):
+    """Build the flattened token column from byte extents (all tokens valid)."""
+    tcap = starts.shape[0]
+    tvalid = jnp.arange(tcap, dtype=jnp.int32) < total_tokens
+    sizes = jnp.where(tvalid, ends - starts, 0)
+
+    def produce(trows, k, valid):
+        return layout.gather_bytes(col.data, starts[trows] + k)
+
+    tokens = build_column(sizes, tvalid, produce)
+    tokens = StringColumn(
+        tokens.data,
+        tokens.offsets[: total_tokens + 1],
+        tokens.validity[:total_tokens],
+    )
+    return TokenColumn(tokens, tok_off, col.validity)
+
+
+def _delim_split(
+    col: StringColumn, delim: str, maxsplit: int, from_right: bool
+) -> TokenColumn:
+    pat_b = delim.encode("utf-8")
+    m = len(pat_b)
+    if m == 0:
+        raise ValueError("empty delimiter")
+    p = _pat_array(pat_b)
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    rows = row_ids_from_offsets(col.offsets, cap)
+    row_start = col.offsets[:-1][rows]
+    row_end = col.offsets[1:][rows]
+    match = (
+        _match_mask(col.data, p)
+        & (j + m <= row_end)
+        & layout.valid_byte_mask(col)
+    )
+    bordered = _has_border(pat_b)
+    if from_right and bordered:
+        # greedy right-to-left: mirror buffer so the cover-scan runs l-to-r
+        revm = jnp.roll(jnp.flip(match), -(m - 1))
+        picked_rev = _greedy_select(revm, m, True)
+        picked = jnp.roll(jnp.flip(picked_rev), -(m - 1))
+    else:
+        picked = _greedy_select(match, m, bordered)
+
+    n = col.size
+    delims_per_row = (
+        jnp.zeros(n, jnp.int32).at[rows].add(picked.astype(jnp.int32))
+    )
+    allowed = maxsplit if maxsplit > 0 else _INF
+    used = jnp.minimum(delims_per_row, allowed)
+    counts = jnp.where(col.validity, used + 1, 0)
+
+    # 0-based left-to-right rank of each picked delimiter within its row
+    pk0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+    )
+    rank = pk0[:cap] - pk0[row_start]
+    if from_right:
+        used_rank = rank - (delims_per_row[rows] - used[rows])
+    else:
+        used_rank = rank
+    dused = picked & (used_rank >= 0) & (used_rank < used[rows])
+
+    tok_off = cumsum0(counts)
+    total_tokens = int(tok_off[-1])
+    tcap = bucket_bytes(total_tokens)
+
+    starts = jnp.zeros(tcap + 1, jnp.int32)
+    ends = jnp.zeros(tcap + 1, jnp.int32)
+    first_tok = jnp.where(col.validity, tok_off[:-1], tcap)
+    starts = starts.at[first_tok].set(col.offsets[:-1])
+    tbase = tok_off[:-1][rows]
+    starts = starts.at[jnp.where(dused, tbase + used_rank + 1, tcap)].set(j + m)
+    ends = ends.at[jnp.where(dused, tbase + used_rank, tcap)].set(j)
+    last_tok = jnp.where(col.validity, tok_off[1:] - 1, tcap)
+    ends = ends.at[last_tok].set(col.offsets[1:])
+    return _tokens_from_extents(
+        col, tok_off, starts[:tcap], ends[:tcap], total_tokens
+    )
+
+
+def _ws_split(col: StringColumn, maxsplit: int, from_right: bool) -> TokenColumn:
+    cm = layout.char_map(col)
+    cps = layout.codepoints(col)
+    ncap = cps.shape[0]
+    c = jnp.arange(ncap, dtype=jnp.int32)
+    crows = row_ids_from_offsets(cm.char_offsets, ncap)
+    cvalid = c < cm.cs0[-1]
+    non_ws = (cps > ord(" ")) & cvalid
+    row_first = jnp.zeros(ncap, jnp.bool_).at[
+        jnp.minimum(cm.char_offsets[:-1], max(ncap - 1, 0))
+    ].set(True)
+    prev_non_ws = jnp.roll(non_ws, 1).at[0].set(False) if ncap else non_ws
+    wstart = non_ws & (row_first | ~prev_non_ws)
+    next_non_ws = (
+        jnp.roll(non_ws, -1).at[ncap - 1].set(False) if ncap else non_ws
+    )
+    next_row_first = (
+        jnp.roll(row_first, -1).at[ncap - 1].set(True) if ncap else row_first
+    )
+    wend = non_ws & (next_row_first | ~next_non_ws)
+
+    n = col.size
+    words = jnp.zeros(n, jnp.int32).at[crows].add(wstart.astype(jnp.int32))
+    T = maxsplit + 1 if maxsplit > 0 else _INF
+    counts = jnp.where(col.validity, jnp.minimum(jnp.maximum(words, 1), T), 0)
+    # tail token absorbs the rest of the string (incl. trailing/leading ws)
+    # exactly when the limit is reached: ' a b '.split(None,1) -> ['a','b ']
+    # (split.cu:225-260 examples)
+    over = words >= T
+
+    ws0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(wstart.astype(jnp.int32))]
+    )
+    we0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(wend.astype(jnp.int32))]
+    )
+    row_char_start = cm.char_offsets[:-1][crows]
+    ws_rank = ws0[:ncap] - ws0[row_char_start]
+    we_rank = we0[:ncap] - we0[row_char_start]
+
+    cpos = cm.char_pos
+    cw = layout.char_width_from_lead(
+        col.data[jnp.clip(cpos, 0, max(col.capacity - 1, 0))]
+    )
+
+    tok_off = cumsum0(counts)
+    total_tokens = int(tok_off[-1])
+    tcap = bucket_bytes(total_tokens)
+    starts = jnp.zeros(tcap + 1, jnp.int32)
+    ends = jnp.zeros(tcap + 1, jnp.int32)
+    tbase = tok_off[:-1][crows]
+
+    if not from_right:
+        ti_s = ws_rank
+        # word k starts token k for k < counts
+        sel_s = wstart & (ti_s < counts[crows])
+        starts = starts.at[jnp.where(sel_s, tbase + ti_s, tcap)].set(cpos[c])
+        ti_e = we_rank
+        # word k ends token k, except the overflowing last token
+        sel_e = wend & (ti_e < counts[crows] - 1)
+        ends = ends.at[jnp.where(sel_e, tbase + ti_e, tcap)].set(
+            cpos[c] + cw[c]
+        )
+        sel_last = wend & (ti_e == counts[crows] - 1) & ~over[crows]
+        ends = ends.at[jnp.where(sel_last, tbase + ti_e, tcap)].set(
+            cpos[c] + cw[c]
+        )
+        # overflow rows: last token ends at row byte end
+        sel_or = col.validity & over
+        ends = ends.at[jnp.where(sel_or, tok_off[1:] - 1, tcap)].set(
+            col.offsets[1:]
+        )
+    else:
+        shift = words[crows] - counts[crows]  # words folded into token 0
+        ti_s = ws_rank - shift
+        sel_s = wstart & (ti_s >= jnp.where(over[crows], 1, 0)) & (
+            ti_s < counts[crows]
+        )
+        starts = starts.at[jnp.where(sel_s, tbase + ti_s, tcap)].set(cpos[c])
+        ti_e = we_rank - shift
+        sel_e = wend & (ti_e >= 0) & (ti_e < counts[crows])
+        ends = ends.at[jnp.where(sel_e, tbase + ti_e, tcap)].set(
+            cpos[c] + cw[c]
+        )
+        # overflow rows: token 0 starts at row byte start
+        sel_os = col.validity & over
+        starts = starts.at[jnp.where(sel_os, tok_off[:-1], tcap)].set(
+            col.offsets[:-1]
+        )
+    # wordless rows: single empty token at row start
+    sel_empty = col.validity & (words == 0)
+    starts = starts.at[jnp.where(sel_empty, tok_off[:-1], tcap)].set(
+        col.offsets[:-1]
+    )
+    ends = ends.at[jnp.where(sel_empty, tok_off[:-1], tcap)].set(
+        col.offsets[:-1]
+    )
+    return _tokens_from_extents(
+        col, tok_off, starts[:tcap], ends[:tcap], total_tokens
+    )
+
+
+def split_record(col: StringColumn, delimiter=None, n=-1) -> TokenColumn:
+    if delimiter is None:
+        return _ws_split(col, n, False)
+    return _delim_split(col, delimiter, n, False)
+
+
+def rsplit_record(col: StringColumn, delimiter=None, n=-1) -> TokenColumn:
+    if delimiter is None:
+        return _ws_split(col, n, True)
+    return _delim_split(col, delimiter, n, True)
+
+
+def token_column_to_columns(tc: TokenColumn) -> list[StringColumn]:
+    """Column-major view: result[i] holds token i of each row, null-padded
+    (split.cu column split:734 — shorter rows pad with nulls)."""
+    from .array import gather
+
+    counts = tc.counts()
+    ncols = int(jnp.max(counts)) if tc.nrows else 0
+    out = []
+    nrows = tc.nrows
+    for i in range(ncols):
+        idx = jnp.minimum(tc.row_offsets[:-1] + i, max(tc.tokens.size - 1, 0))
+        colm = gather(tc.tokens, idx)
+        valid = tc.row_validity & (i < counts)
+        # null rows: zero length
+        lens = jnp.where(valid, colm.lengths(), 0)
+        colm = _mask_column(colm, valid)
+        out.append(colm)
+    return out
+
+
+def _mask_column(col: StringColumn, valid: jax.Array) -> StringColumn:
+    """Null out rows where ~valid (their bytes become empty)."""
+    sizes = jnp.where(valid, col.lengths(), 0)
+    starts = col.offsets[:-1]
+
+    def produce(rows, k, vmask):
+        return layout.gather_bytes(col.data, starts[rows] + k)
+
+    return build_column(sizes, col.validity & valid, produce)
+
+
+def split_columns(col: StringColumn, delimiter=None, n=-1) -> list[StringColumn]:
+    return token_column_to_columns(split_record(col, delimiter, n))
+
+
+def rsplit_columns(col: StringColumn, delimiter=None, n=-1) -> list[StringColumn]:
+    return token_column_to_columns(rsplit_record(col, delimiter, n))
+
+
+def partition(col: StringColumn, delimiter: str) -> list[StringColumn]:
+    """3 columns: [before, delim, after] on FIRST occurrence; rows without
+    the delimiter -> [row, "", ""]; null rows stay null
+    (split.cu partition:1165, python/tests/test_split.py:99)."""
+    return _partition_impl(col, delimiter, False)
+
+
+def rpartition(col: StringColumn, delimiter: str) -> list[StringColumn]:
+    """3 columns on LAST occurrence; no-delimiter rows -> ["", "", row]."""
+    return _partition_impl(col, delimiter, True)
+
+
+def _partition_impl(col, delimiter, from_right):
+    from .find import find as find_op, rfind as rfind_op
+
+    d = delimiter.encode("utf-8")
+    m = len(d)
+    pos = rfind_op(col, delimiter) if from_right else find_op(col, delimiter)
+    # pos is a CHAR position; convert to byte extents
+    cm = layout.char_map(col)
+    nch = cm.nchars()
+    found = pos >= 0
+    co = cm.char_offsets[:-1]
+    total_chars = cm.cs0[-1]
+
+    def byte_of(charpos):
+        g = jnp.minimum(co + jnp.clip(charpos, 0, nch), total_chars)
+        b = jnp.where(
+            g >= total_chars,
+            col.offsets[-1],
+            cm.char_pos[jnp.minimum(g, max(col.capacity - 1, 0))],
+        )
+        return jnp.clip(b, col.offsets[:-1], col.offsets[1:])
+
+    dstart = byte_of(jnp.where(found, pos, 0))
+    # delimiter spans m bytes (delim is ASCII-or-not: byte length fixed)
+    dend = jnp.where(found, dstart + m, dstart)
+
+    lens = col.lengths()
+    if from_right:
+        pre_s = col.offsets[:-1]
+        pre_e = jnp.where(found, dstart, col.offsets[:-1])
+        post_s = jnp.where(found, dend, col.offsets[:-1])
+        post_e = jnp.where(found, col.offsets[1:], col.offsets[1:])
+    else:
+        pre_s = col.offsets[:-1]
+        pre_e = jnp.where(found, dstart, col.offsets[1:])
+        post_s = jnp.where(found, dend, col.offsets[1:])
+        post_e = col.offsets[1:]
+
+    def make(start, end):
+        sizes = jnp.where(col.validity, end - start, 0)
+
+        def produce(rows, k, valid):
+            return layout.gather_bytes(col.data, start[rows] + k)
+
+        return build_column(sizes, col.validity, produce)
+
+    mid_sizes = jnp.where(col.validity & found, m, 0)
+    darr = _pat_array(d)
+
+    def mid_produce(rows, k, valid):
+        return darr[jnp.clip(k, 0, max(m - 1, 0))] if m else jnp.uint8(0)
+
+    mid = build_column(mid_sizes, col.validity, mid_produce)
+    return [make(pre_s, pre_e), mid, make(post_s, post_e)]

@@ -1,0 +1,64 @@
+"""Strip ops: lstrip/strip/rstrip.
+
+TPU-native re-design of cpp/src/strings/strip.cu (lstrip:30, strip:87,
+rstrip:144).  Default strip set is " \\n\\t" exactly as the reference
+(custring_view::lstrip, custring_view.inl).  Leading/trailing run lengths are
+computed with segment min/max over the "first/last non-member char" instead of
+per-thread loops, then rows are byte-sliced.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..column import StringColumn, build_column
+from . import layout, substr
+
+_BIG = jnp.int32(2**30)
+
+
+def _member_mask(col: StringColumn, to_strip: str | None):
+    chars = to_strip if to_strip is not None else " \n\t"
+    cps = layout.codepoints(col)
+    m = jnp.zeros(cps.shape[0], jnp.bool_)
+    for ch in set(chars):
+        m = m | (cps == ord(ch))
+    return m
+
+
+def _strip_impl(col: StringColumn, to_strip, left: bool, right: bool):
+    cm = layout.char_map(col)
+    nch = cm.nchars()
+    member = _member_mask(col, to_strip)
+    ncap = member.shape[0]
+    c = jnp.arange(ncap, dtype=jnp.int32)
+    crows = layout.row_ids_from_offsets(cm.char_offsets, ncap)
+    oc = c - cm.char_offsets[:-1][crows]
+    cvalid = c < cm.cs0[-1]
+    non = (~member) & cvalid
+    n = col.size
+    # first non-member char position per row (nchars if none)
+    first_non = jnp.full(n, _BIG, jnp.int32).at[crows].min(
+        jnp.where(non, oc, _BIG)
+    )
+    first_non = jnp.minimum(first_non, nch)
+    last_non = jnp.full(n, -1, jnp.int32).at[crows].max(
+        jnp.where(non, oc, -1)
+    )
+    starts = first_non if left else jnp.zeros(n, jnp.int32)
+    stops = (last_non + 1) if right else nch
+    # all-member rows: empty result
+    stops = jnp.maximum(stops, starts)
+    return substr._slice_bytes(col, starts, stops, raw=True)
+
+
+def lstrip(col: StringColumn, to_strip=None) -> StringColumn:
+    return _strip_impl(col, to_strip, True, False)
+
+
+def rstrip(col: StringColumn, to_strip=None) -> StringColumn:
+    return _strip_impl(col, to_strip, False, True)
+
+
+def strip(col: StringColumn, to_strip=None) -> StringColumn:
+    return _strip_impl(col, to_strip, True, True)

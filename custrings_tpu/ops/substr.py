@@ -1,0 +1,99 @@
+"""Substring ops: get/slice/slice_from.
+
+TPU-native re-design of cpp/src/strings/substr.cu (get:32, slice:39,
+slice_from:85).  Positions are character indexes; step==1 is a pure byte-range
+gather, step!=1 goes through the charwise engine.  Reference normalization:
+stop<=0 (or None) means end-of-string (substr.cu:55).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..column import StringColumn, build_column
+from . import charwise, layout
+
+
+def _char_window(col: StringColumn, starts, stops, raw: bool = False):
+    """Clamp per-row char [start, stop) and return byte positions too.
+
+    raw=False applies the reference's stop<=0 -> end-of-string rule
+    (substr.cu:55); raw=True takes stops literally (used by strip).
+    """
+    cm = layout.char_map(col)
+    nch = cm.nchars()
+    s = jnp.clip(starts.astype(jnp.int32), 0, nch)
+    e = stops.astype(jnp.int32)
+    if not raw:
+        e = jnp.where(e <= 0, nch, e)
+    e = jnp.clip(e, 0, nch)
+    e = jnp.maximum(e, s)
+    total_chars = cm.cs0[-1]
+    co = cm.char_offsets[:-1]
+    cap = col.capacity
+
+    def byte_of(charpos):
+        g = co + charpos
+        return jnp.where(
+            g >= total_chars,
+            col.offsets[-1],
+            cm.char_pos[jnp.minimum(g, cap - 1)],
+        )
+
+    sb = jnp.clip(byte_of(s), col.offsets[:-1], col.offsets[1:])
+    eb = jnp.clip(byte_of(e), col.offsets[:-1], col.offsets[1:])
+    return cm, s, e, sb, eb
+
+
+def slice_chars(
+    col: StringColumn, start=0, stop=None, step=None
+) -> StringColumn:
+    step = 1 if step in (None, 0) else int(step)
+    n = col.size
+    starts = jnp.full(n, int(start or 0), jnp.int32)
+    stops = jnp.full(n, -1 if stop is None else int(stop), jnp.int32)
+    if step == 1:
+        return _slice_bytes(col, starts, stops)
+    # stepped: charwise gather of chars start, start+step, ...
+    cm, s, e, sb, eb = _char_window(col, starts, stops)
+    counts = jnp.maximum(0, -(-(e - s) // step))
+    co = cm.char_offsets[:-1]
+    cps = layout.codepoints(col)
+    ncap = cps.shape[0]
+
+    def cp_fn(rows, oc, valid):
+        g = jnp.clip(co[rows] + s[rows] + oc * step, 0, ncap - 1)
+        return cps[g]
+
+    return charwise.build_charwise(col, counts, cp_fn)
+
+
+def _slice_bytes(col: StringColumn, starts, stops, raw: bool = False) -> StringColumn:
+    cm, s, e, sb, eb = _char_window(col, starts, stops, raw)
+    sizes = eb - sb
+
+    def produce(rows, k, valid):
+        return layout.gather_bytes(col.data, sb[rows] + k)
+
+    return build_column(sizes, col.validity, produce)
+
+
+def slice_from(col: StringColumn, starts=None, stops=None) -> StringColumn:
+    """Per-row start/stop char arrays (substr.cu slice_from:85)."""
+    n = col.size
+    starts = (
+        jnp.zeros(n, jnp.int32)
+        if starts is None
+        else jnp.asarray(starts, jnp.int32)
+    )
+    stops = (
+        jnp.full(n, -1, jnp.int32)
+        if stops is None
+        else jnp.asarray(stops, jnp.int32)
+    )
+    return _slice_bytes(col, starts, stops)
+
+
+def get_char(col: StringColumn, i: int) -> StringColumn:
+    """Single char at position i per row (substr.cu get:32)."""
+    return slice_chars(col, i, i + 1, 1)

@@ -1,0 +1,125 @@
+"""Sort-unique / dictionary-encode core.
+
+TPU-native re-design of NVCategoryImpl_init (cpp/src/category/
+NVCategory.cu:220-304): sort_by_key -> adjacent-neq flags -> inclusive scan
+(dense ranks) -> inverse-permutation scatter -> unique keys.  The pointer
+comparator sort becomes a lexicographic jax.lax.sort over packed big-endian
+uint32 key words (ops/array.py); everything else is the same algorithm in
+array form.  Null sorts first and forms its own key (NVCategory.cu:250-255).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..column import StringColumn
+from . import array, layout
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_sorted(col: StringColumn, width: int):
+    n = col.size
+    ord_ = array._order_impl(col, width, array.SORT_NAME, True, True)
+    words = array._key_words(col, width)  # [n, W]
+    sw = words[ord_]  # sorted key words
+    slen = col.lengths()[ord_]
+    sval = col.validity[ord_]
+    neq = jnp.zeros(n, jnp.bool_)
+    if n > 1:
+        row_neq = (
+            jnp.any(sw[1:] != sw[:-1], axis=1)
+            | (slen[1:] != slen[:-1])
+            | (sval[1:] != sval[:-1])
+        )
+        # two nulls are equal regardless of (zero-length) payload
+        both_null = (~sval[1:]) & (~sval[:-1])
+        neq = neq.at[1:].set(row_neq & ~both_null)
+    ranks = jnp.cumsum(neq.astype(jnp.int32))
+    values = jnp.zeros(n, jnp.int32).at[ord_].set(ranks)
+    # first-occurrence (in sorted order) positions -> key gather indexes
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), neq[1:]]) if n else neq
+    return ord_, ranks, values, first
+
+
+def dictionary_encode(col: StringColumn):
+    """Return (keys: StringColumn sorted unique, values: int32[rows]).
+
+    values[i] = rank of col[i] in the sorted unique keyset, the exact
+    contract of nvcategory (python/tests/test_category.py:31-40).
+    """
+    n = col.size
+    if n == 0:
+        from ..column import empty_column
+
+        return empty_column(0), jnp.zeros(0, jnp.int32)
+    width = -(-layout.max_row_bytes(col) // 4) * 4
+    ord_, ranks, values, first = _encode_sorted(col, width)
+    # compact first-occurrence positions on host (ucount is dynamic anyway)
+    first_np = jax.device_get(first)
+    import numpy as np
+
+    key_idx = jax.device_get(ord_)[np.nonzero(first_np)[0]]
+    keys = array.gather(col, key_idx.astype(jnp.int32))
+    return keys, values
+
+
+def unique_strings(col: StringColumn) -> StringColumn:
+    keys, _ = dictionary_encode(col)
+    return keys
+
+
+def searchsorted_keys(keys: StringColumn, queries: StringColumn) -> jax.Array:
+    """For each query row, the index of the equal key or -1.
+
+    Used by value(str), add/remove/set_keys remapping (NVCategory.cu:766).
+    Nulls match the null key if present.
+    """
+    kw_width = max(
+        layout.max_row_bytes(keys), layout.max_row_bytes(queries)
+    )
+    kw_width = -(-kw_width // 4) * 4
+    kw = array._key_words(keys, kw_width)  # [K, W]
+    qw = array._key_words(queries, kw_width)  # [Q, W]
+    klen, qlen = keys.lengths(), queries.lengths()
+    kval, qval = keys.validity, queries.validity
+    # lexicographic searchsorted via vectorized binary search
+    K = keys.size
+
+    def less(qi, ki):
+        # is key ki < query qi ?
+        # null < non-null
+        kn, qn = ~kval[ki], ~qval[qi]
+        a, b = kw[ki], qw[qi]
+        neq = a != b
+        first = jnp.argmax(neq)  # first differing word
+        words_less = jnp.where(
+            jnp.any(neq), a[first] < b[first], klen[ki] < qlen[qi]
+        )
+        return jnp.where(kn | qn, kn & ~qn, words_less)
+
+    def eq(qi, ki):
+        kn, qn = ~kval[ki], ~qval[qi]
+        same = jnp.all(kw[ki] == qw[qi]) & (klen[ki] == qlen[qi])
+        return jnp.where(kn | qn, kn & qn, same)
+
+    def find_one(qi):
+        def body(state):
+            lo, hi = state
+            mid = (lo + hi) // 2
+            l = less(qi, mid)
+            return (jnp.where(l, mid + 1, lo), jnp.where(l, hi, mid))
+
+        def cond(state):
+            lo, hi = state
+            return lo < hi
+
+        lo, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(K))
+        )
+        hit = jnp.where((lo < K) & eq(qi, jnp.minimum(lo, K - 1)), lo, -1)
+        return hit
+
+    return jax.vmap(find_one)(jnp.arange(queries.size, dtype=jnp.int32))

@@ -1,0 +1,128 @@
+"""URL percent-encoding ops.
+
+TPU-native re-design of cpp/src/strings/urlencode.cu (url_encode:130,
+url_decode:243).  Unreserved set is [0-9A-Za-z._~-] (urlencode.cu:80-85);
+every other byte (including each byte of multi-byte UTF-8 chars) becomes
+%XX with uppercase hex.  Decode converts '%' + 2 bytes whenever 2 bytes
+remain in the row, like the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..column import StringColumn, cumsum0
+from ..config import bucket_bytes
+from . import layout
+
+
+def _unreserved(b):
+    return (
+        ((b >= ord("0")) & (b <= ord("9")))
+        | ((b >= ord("A")) & (b <= ord("Z")))
+        | ((b >= ord("a")) & (b <= ord("z")))
+        | (b == ord("."))
+        | (b == ord("_"))
+        | (b == ord("~"))
+        | (b == ord("-"))
+    )
+
+
+def _hex_char(v):
+    return jnp.where(v < 10, ord("0") + v, ord("A") + v - 10).astype(jnp.uint8)
+
+
+def url_encode(col: StringColumn) -> StringColumn:
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    rows = layout.row_ids_from_offsets(col.offsets, cap)
+    real = layout.valid_byte_mask(col)
+    b = col.data.astype(jnp.int32)
+    # a byte is kept verbatim iff it's an ASCII unreserved char; every other
+    # byte (incl. continuation bytes) expands to %XX
+    keep = _unreserved(b) & real
+    w = jnp.where(real, jnp.where(keep, 1, 3), 0)
+    # output offsets at byte granularity
+    ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
+    out_offsets = ob0[col.offsets]
+    total = int(out_offsets[-1])
+    bcap = bucket_bytes(total)
+    data = jnp.zeros(bcap + 3, jnp.uint8)
+    base = ob0[:-1]
+    hi = _hex_char(b >> 4)
+    lo = _hex_char(b & 0xF)
+    vals = [
+        jnp.where(keep, col.data, jnp.uint8(ord("%"))),
+        hi,
+        lo,
+    ]
+    for t in range(3):
+        sel = real & (t < w)
+        idx = jnp.where(sel, base + t, bcap + t)
+        data = data.at[idx].set(jnp.where(sel, vals[t], jnp.uint8(0)))
+    return StringColumn(data[:bcap], out_offsets, col.validity)
+
+
+def _hex_val(c):
+    return jnp.where(
+        (c >= ord("0")) & (c <= ord("9")),
+        c - ord("0"),
+        jnp.where(
+            (c >= ord("A")) & (c <= ord("F")),
+            c - ord("A") + 10,
+            jnp.where(
+                (c >= ord("a")) & (c <= ord("f")), c - ord("a") + 10, 0
+            ),
+        ),
+    )
+
+
+def url_decode(col: StringColumn) -> StringColumn:
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    rows = layout.row_ids_from_offsets(col.offsets, cap)
+    real = layout.valid_byte_mask(col)
+    row_end = col.offsets[1:][rows]
+    b = col.data.astype(jnp.int32)
+    b1 = jnp.roll(b, -1)
+    b2 = jnp.roll(b, -2)
+    is_pct = (b == ord("%")) & (j + 2 < row_end) & real
+    # bytes consumed by a % escape: mark the two following bytes as skipped.
+    # A byte is skipped if byte j-1 or j-2 starts an escape; escapes cannot
+    # overlap ('%' inside an escape is consumed), so resolve left-to-right:
+    # since escape start requires the byte itself not be part of a previous
+    # escape, run the small associative scan on state {0,1,2} (bytes left).
+    m = 3
+    import jax
+
+    dom = jnp.arange(m, dtype=jnp.int32)
+
+    def trans(pj):
+        dec = jnp.maximum(dom - 1, 0)
+        return jnp.where((dom == 0) & pj, 2, dec)
+
+    T = jax.vmap(trans)(is_pct)
+
+    def compose(a, bb):
+        return jnp.take_along_axis(bb, a, axis=1)
+
+    comp = jax.lax.associative_scan(compose, T)
+    s_in = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), comp[:-1, 0].astype(jnp.int32)]
+    )
+    start = is_pct & (s_in == 0)
+    inside = (s_in > 0) | start  # every byte belonging to an escape
+    skipped = inside & ~start
+    emit = real & ~skipped
+    out_b = jnp.where(
+        start, (_hex_val(b1) * 16 + _hex_val(b2)).astype(jnp.uint8), col.data
+    )
+    w = emit.astype(jnp.int32)
+    ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
+    out_offsets = ob0[col.offsets]
+    total = int(out_offsets[-1])
+    bcap = bucket_bytes(total)
+    data = jnp.zeros(bcap + 1, jnp.uint8)
+    idx = jnp.where(emit, ob0[:-1], bcap)
+    data = data.at[idx].set(jnp.where(emit, out_b, jnp.uint8(0)))
+    return StringColumn(data[:bcap], out_offsets, col.validity)

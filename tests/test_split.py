@@ -1,0 +1,125 @@
+"""Split family parity tests, mirroring the reference's test matrix
+(python/tests/test_split.py) with pandas as oracle where the reference cites
+pandas semantics (split.cu:89-123, :225-260)."""
+
+import pandas as pd
+import pytest
+
+from custrings_tpu import column
+from custrings_tpu.ops import split
+
+S = ["héllo", None, "a_bc_déf", "a__bc", "_ab_cd", "ab_cd_", "", " a b ",
+     " a  bbb   c"]
+
+
+def dev(strs):
+    return column.from_host_strings(strs)
+
+
+def host(col):
+    return column.to_host_strings(col)
+
+
+def record_lists(tc: split.TokenColumn):
+    toks = host(tc.tokens)
+    offs = list(tc.row_offsets)
+    val = list(tc.row_validity)
+    out = []
+    for i in range(tc.nrows):
+        if not val[i]:
+            out.append(None)
+        else:
+            out.append(toks[offs[i] : offs[i + 1]])
+    return out
+
+
+@pytest.mark.parametrize("n", [-1, 1, 2])
+def test_split_record_delim(n):
+    got = record_lists(split.split_record(dev(S), "_", n))
+    exp = list(pd.Series(S).str.split("_", n=n))
+    exp = [None if e is None or e != e else e for e in exp]
+    # reference deviation: "" -> [""] (split_size returns 1, custring_view.inl)
+    exp = [[""] if e == [] else e for e in exp]
+    assert got == exp
+
+
+@pytest.mark.parametrize("n", [-1, 1, 2])
+def test_rsplit_record_delim(n):
+    got = record_lists(split.rsplit_record(dev(S), "_", n))
+    exp = list(pd.Series(S).str.rsplit("_", n=n))
+    exp = [None if e is None or e != e else e for e in exp]
+    exp = [[""] if e == [] else e for e in exp]
+    assert got == exp
+
+
+@pytest.mark.parametrize("n", [-1, 1, 2])
+def test_split_record_ws(n):
+    got = record_lists(split.split_record(dev(S), None, n))
+    exp = list(pd.Series(S).str.split(n=n))
+    exp = [None if e is None or e != e else e for e in exp]
+    exp = [[""] if e == [] else e for e in exp]
+    assert got == exp
+
+
+@pytest.mark.parametrize("n", [-1, 1, 2])
+def test_rsplit_record_ws(n):
+    got = record_lists(split.rsplit_record(dev(S), None, n))
+    exp = list(pd.Series(S).str.rsplit(n=n))
+    exp = [None if e is None or e != e else e for e in exp]
+    exp = [[""] if e == [] else e for e in exp]
+    assert got == exp
+
+
+def test_split_columns():
+    # expectations from the reference's own test (test_split.py:29-53)
+    got = [host(c) for c in split.split_columns(dev(S), "_")]
+    assert got[0] == ["héllo", None, "a", "a", "", "ab", "", " a b ",
+                      " a  bbb   c"]
+    assert got[1] == [None, None, "bc", "", "ab", "cd", None, None, None]
+    assert got[2] == [None, None, "déf", "bc", "cd", "", None, None, None]
+
+
+def test_rsplit_columns():
+    got = [host(c) for c in split.rsplit_columns(dev(S), "_")]
+    assert got[0] == ["héllo", None, "a", "a", "", "ab", "", " a b ",
+                      " a  bbb   c"]
+    assert got[1] == [None, None, "bc", "", "ab", "cd", None, None, None]
+    assert got[2] == [None, None, "déf", "bc", "cd", "", None, None, None]
+
+
+def test_partition():
+    got = [host(c) for c in split.partition(dev(S), "_")]
+    rows = list(zip(*got))
+    assert rows[0] == ("héllo", "", "")
+    assert rows[1] == (None, None, None)
+    assert rows[2] == ("a", "_", "bc_déf")
+    assert rows[3] == ("a", "_", "_bc")
+    assert rows[4] == ("", "_", "ab_cd")
+    assert rows[5] == ("ab", "_", "cd_")
+    assert rows[6] == ("", "", "")
+    assert rows[7] == (" a b ", "", "")
+
+
+def test_rpartition():
+    got = [host(c) for c in split.rpartition(dev(S), "_")]
+    rows = list(zip(*got))
+    assert rows[0] == ("", "", "héllo")
+    assert rows[1] == (None, None, None)
+    assert rows[2] == ("a_bc", "_", "déf")
+    assert rows[3] == ("a_", "_", "bc")
+    assert rows[4] == ("_ab", "_", "cd")
+    assert rows[5] == ("ab_cd", "_", "")
+    assert rows[6] == ("", "", "")
+
+
+def test_split_bordered_delim():
+    # self-overlapping delimiter: greedy left-to-right
+    got = record_lists(split.split_record(dev(["aaaa", "aaa"]), "aa"))
+    exp = [s.split("aa") for s in ["aaaa", "aaa"]]
+    assert got == exp
+
+
+def test_rsplit_bordered_delim():
+    got = record_lists(split.rsplit_record(dev(["aaaa", "aaa"]), "aa"))
+    exp = [s.rsplit("aa") for s in ["aaaa", "aaa"]]
+    assert got == exp
