@@ -1,0 +1,244 @@
+"""Numeric dictionary-encoding: the numeric_category core.
+
+TPU-native re-design of cpp/src/category/numeric_category.inl (992 LoC,
+instantiated for int8/int32/int64/float32/float64 in
+numeric_category_*.cu): the same sort/neq/scan model as the string
+category, but with jnp numeric sorts — no packed key words needed.
+Supports a null bitmask and NaN-as-key (NaN sorts last, one key).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class NumericCategory:
+    keys: jax.Array  # sorted unique values (may start with a null slot)
+    keys_valid: jax.Array  # bool[K]; False marks the null key slot
+    values: jax.Array  # int32[rows]; -1 = unmapped
+
+
+def _sort_key(arr):
+    """Total-order sort key: NaN sorts LAST (numeric_category.inl)."""
+    if jnp.issubdtype(arr.dtype, jnp.floating):
+        nan = jnp.isnan(arr)
+        big = jnp.asarray(jnp.inf, arr.dtype)
+        return jnp.where(nan, big, arr), nan
+    return arr, jnp.zeros(arr.shape, jnp.bool_)
+
+
+def from_numbers(narr, nulls=None) -> NumericCategory:
+    arr = jnp.asarray(narr)
+    n = arr.shape[0]
+    valid = (
+        jnp.ones(n, jnp.bool_)
+        if nulls is None
+        else ~jnp.asarray(nulls, jnp.bool_)
+    )
+    key, isnan = _sort_key(arr)
+    # sort order: nulls first (like string category), then value, NaN last
+    null_rank = (~valid).astype(jnp.int32)  # null=1? nulls FIRST -> use 0
+    null_first = jnp.where(valid, 1, 0)
+    nan_rank = isnan.astype(jnp.int32)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    if jnp.issubdtype(arr.dtype, jnp.floating):
+        ops = (null_first, key, nan_rank, rows)
+        out = jax.lax.sort(ops, num_keys=3)
+    else:
+        ops = (null_first, key, rows)
+        out = jax.lax.sort(ops, num_keys=2)
+    order = out[-1]
+    svals = arr[order]
+    svalid = valid[order]
+    snan = isnan[order]
+    if n > 1:
+        eq = (svals[1:] == svals[:-1]) | (snan[1:] & snan[:-1])
+        eq = eq & (svalid[1:] == svalid[:-1])
+        eq = eq | ((~svalid[1:]) & (~svalid[:-1]))
+        neq = ~eq
+        neq_full = jnp.concatenate([jnp.zeros(1, jnp.bool_), neq])
+    else:
+        neq_full = jnp.zeros(n, jnp.bool_)
+    ranks = jnp.cumsum(neq_full.astype(jnp.int32))
+    values = jnp.zeros(n, jnp.int32).at[order].set(ranks)
+    first = (
+        jnp.concatenate([jnp.ones(1, jnp.bool_), neq_full[1:]])
+        if n
+        else neq_full
+    )
+    fnp = np.nonzero(np.asarray(jax.device_get(first)))[0]
+    key_rows = np.asarray(jax.device_get(order))[fnp]
+    keys = arr[jnp.asarray(key_rows, jnp.int32)]
+    keys_valid = valid[jnp.asarray(key_rows, jnp.int32)]
+    return NumericCategory(keys, keys_valid, values)
+
+
+def to_numbers(cat: NumericCategory, narep=0):
+    idx = jnp.clip(cat.values, 0, max(cat.keys.shape[0] - 1, 0))
+    out = cat.keys[idx]
+    return jnp.where(cat.values >= 0, out, jnp.asarray(narep, out.dtype))
+
+
+def gather_numbers(cat: NumericCategory, indexes):
+    idx = np.asarray(indexes)
+    if idx.size and (idx.min() < 0 or idx.max() >= cat.keys.shape[0]):
+        raise IndexError("gather_numbers: index out of range")
+    return cat.keys[jnp.asarray(idx, jnp.int32)]
+
+
+def value_of(cat: NumericCategory, key) -> int:
+    k = np.asarray(jax.device_get(cat.keys))
+    kv = np.asarray(jax.device_get(cat.keys_valid))
+    for i in range(len(k)):
+        if not kv[i]:
+            continue
+        if (isinstance(key, float) and np.isnan(key) and np.isnan(k[i])) or (
+            k[i] == key
+        ):
+            return i
+    return -1
+
+
+def indexes_for_key(cat: NumericCategory, key):
+    v = value_of(cat, key)
+    idx = np.nonzero(np.asarray(jax.device_get(cat.values)) == v)[0]
+    return jnp.asarray(idx, jnp.int32)
+
+
+def _searchsorted(keys, keys_valid, queries, q_valid):
+    """Index of each query in keys or -1 (host; keysets are small)."""
+    k = np.asarray(jax.device_get(keys))
+    kv = np.asarray(jax.device_get(keys_valid))
+    q = np.asarray(jax.device_get(queries))
+    qv = np.asarray(jax.device_get(q_valid))
+    out = np.full(len(q), -1, np.int32)
+    for i in range(len(q)):
+        for j in range(len(k)):
+            if not qv[i] or not kv[j]:
+                if not qv[i] and not kv[j]:
+                    out[i] = j
+                    break
+                continue
+            if _eq(k[j], q[i]):
+                out[i] = j
+                break
+    return jnp.asarray(out)
+
+
+def _eq(a, b):
+    try:
+        if np.isnan(a) and np.isnan(b):
+            return True
+    except TypeError:
+        pass
+    return a == b
+
+
+def _remap(cat: NumericCategory, nk, nkv) -> jax.Array:
+    old_to_new = _searchsorted(nk, nkv, cat.keys, cat.keys_valid)
+    safe = jnp.clip(cat.values, 0, max(cat.keys.shape[0] - 1, 0))
+    return jnp.where(cat.values >= 0, old_to_new[safe], -1)
+
+
+def _unique_sorted(arr, nulls):
+    sub = from_numbers(arr, nulls)
+    return sub.keys, sub.keys_valid
+
+
+def add_keys(cat: NumericCategory, keys, nulls=None) -> NumericCategory:
+    ka = jnp.concatenate([cat.keys, jnp.asarray(keys, cat.keys.dtype)])
+    kv = jnp.concatenate(
+        [
+            cat.keys_valid,
+            jnp.ones(len(keys), jnp.bool_)
+            if nulls is None
+            else ~jnp.asarray(nulls, jnp.bool_),
+        ]
+    )
+    nk, nkv = _unique_sorted(ka, ~np.asarray(jax.device_get(kv)))
+    return NumericCategory(nk, nkv, _remap(cat, nk, nkv))
+
+
+def remove_keys(cat: NumericCategory, keys, nulls=None) -> NumericCategory:
+    qv = (
+        jnp.ones(len(keys), jnp.bool_)
+        if nulls is None
+        else ~jnp.asarray(nulls, jnp.bool_)
+    )
+    # map each remove-key to its position in cat.keys, build keep mask
+    drop = np.zeros(cat.keys.shape[0], bool)
+    hm = _searchsorted(cat.keys, cat.keys_valid, jnp.asarray(keys, cat.keys.dtype), qv)
+    hm_np = np.asarray(jax.device_get(hm))
+    drop[hm_np[hm_np >= 0]] = True
+    keep = np.nonzero(~drop)[0]
+    nk = cat.keys[jnp.asarray(keep, jnp.int32)]
+    nkv = cat.keys_valid[jnp.asarray(keep, jnp.int32)]
+    return NumericCategory(nk, nkv, _remap(cat, nk, nkv))
+
+
+def remove_unused_keys(cat: NumericCategory) -> NumericCategory:
+    used = np.zeros(cat.keys.shape[0], bool)
+    vals = np.asarray(jax.device_get(cat.values))
+    used[vals[vals >= 0]] = True
+    keep = np.nonzero(used)[0]
+    nk = cat.keys[jnp.asarray(keep, jnp.int32)]
+    nkv = cat.keys_valid[jnp.asarray(keep, jnp.int32)]
+    return NumericCategory(nk, nkv, _remap(cat, nk, nkv))
+
+
+def set_keys(cat: NumericCategory, keys, nulls=None) -> NumericCategory:
+    nk, nkv = _unique_sorted(
+        jnp.asarray(keys, cat.keys.dtype),
+        None if nulls is None else np.asarray(nulls),
+    )
+    return NumericCategory(nk, nkv, _remap(cat, nk, nkv))
+
+
+def gather(cat: NumericCategory, indexes) -> NumericCategory:
+    idx = np.asarray(indexes)
+    if idx.size and (idx.min() < 0 or idx.max() >= cat.keys.shape[0]):
+        raise IndexError("gather: index out of range")
+    return NumericCategory(
+        cat.keys, cat.keys_valid, jnp.asarray(idx, jnp.int32)
+    )
+
+
+def gather_and_remap(cat: NumericCategory, indexes) -> NumericCategory:
+    return remove_unused_keys(gather(cat, indexes))
+
+
+def merge_category(cat: NumericCategory, other: NumericCategory) -> NumericCategory:
+    """Append-preserving merge, like the string variant."""
+    o2c = _searchsorted(cat.keys, cat.keys_valid, other.keys, other.keys_valid)
+    o2c_np = np.asarray(jax.device_get(o2c))
+    new_mask = o2c_np < 0
+    new_idx = np.nonzero(new_mask)[0]
+    nk = jnp.concatenate(
+        [cat.keys, other.keys[jnp.asarray(new_idx, jnp.int32)]]
+    )
+    nkv = jnp.concatenate(
+        [cat.keys_valid, other.keys_valid[jnp.asarray(new_idx, jnp.int32)]]
+    )
+    final = np.where(
+        new_mask, cat.keys.shape[0] + np.cumsum(new_mask) - 1, o2c_np
+    ).astype(np.int32)
+    ov = np.asarray(jax.device_get(other.values))
+    safe = np.clip(ov, 0, max(other.keys.shape[0] - 1, 0))
+    v2 = np.where(ov >= 0, final[safe], -1)
+    return NumericCategory(
+        nk, nkv, jnp.concatenate([cat.values, jnp.asarray(v2, jnp.int32)])
+    )
+
+
+def merge_and_remap(cat: NumericCategory, other: NumericCategory) -> NumericCategory:
+    ka = jnp.concatenate([cat.keys, other.keys.astype(cat.keys.dtype)])
+    kv = jnp.concatenate([cat.keys_valid, other.keys_valid])
+    nk, nkv = _unique_sorted(ka, ~np.asarray(jax.device_get(kv)))
+    v1 = _remap(cat, nk, nkv)
+    v2 = _remap(other, nk, nkv)
+    return NumericCategory(nk, nkv, jnp.concatenate([v1, v2]))

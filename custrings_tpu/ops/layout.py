@@ -200,3 +200,24 @@ def padded_view(col: StringColumn, width: int | None = None) -> jax.Array:
 def gather_bytes(data: jax.Array, idx: jax.Array) -> jax.Array:
     """Safe byte gather with clamped indices."""
     return data[jnp.clip(idx, 0, data.shape[0] - 1)]
+
+
+def char_matrix(col: StringColumn, width: int | None = None):
+    """(int32[rows, width] codepoint matrix 0-padded, int32[rows] nchars).
+
+    The dense char-major view consumed by the regex executors and DP
+    kernels; cached per column+width."""
+    if width is None:
+        width = max_row_bytes(col)
+    c = _cache(col)
+    key = ("char_matrix", width)
+    if key not in c:
+        cm = char_map(col)
+        cps = codepoints(col)
+        ncap = cps.shape[0]
+        nch = cm.nchars()
+        j = jnp.arange(width, dtype=jnp.int32)[None, :]
+        g = jnp.clip(cm.char_offsets[:-1][:, None] + j, 0, max(ncap - 1, 0))
+        mat = jnp.where(j < nch[:, None], cps[g], 0)
+        c[key] = (mat, nch)
+    return c[key]

@@ -1,0 +1,533 @@
+"""Device-side regex executors.
+
+Two TPU formulations of the reference's lockstep Pike-VM
+(cpp/src/regex/regexec.inl:204-442):
+
+1. `nfa_matches` — boolean/anchored matching (contains_re / match) as pure
+   dense linear algebra: the active state set is a bool[rows, insts] matrix;
+   the eps-closure for each anchor-context is PRECOMPUTED ON HOST into a
+   [ctx, I, I] reachability tensor, so one char step is
+   `state_closed = any(state & closure[ctx])` followed by per-inst char
+   predicates and a next-pointer scatter.  No priorities are needed for a
+   boolean result.  This path batches the whole column per char and rides
+   the VPU/MXU.
+
+2. `run_spans` — the exact ordered-list executor (priority semantics,
+   capture ranges, leftmost-first match) vmapped over rows; faithful to
+   regexec.inl including list-order priority, first-activation dedup, and
+   first-END-wins selection.
+
+Both consume a padded codepoint matrix [rows, L] (+ lengths).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..unicode.tables import FLAG_ALPHANUM, device_tables, host_tables
+from .compiler import (
+    ANY,
+    ANYNL,
+    BOL,
+    BOW,
+    CCLASS,
+    CHAR,
+    END,
+    EOL,
+    LBRA,
+    NBOW,
+    NCCLASS,
+    OR,
+    Program,
+    B_D,
+    B_ND,
+    B_NS,
+    B_NW,
+    B_S,
+    B_W,
+    RBRA,
+)
+
+# context bits for eps-edges
+CTX_BOS = 1  # pos == 0
+CTX_PREV_NL = 2  # prev char == '\n'
+CTX_EOS = 4  # cur char == sentinel 0 (pos == len)
+CTX_CUR_NL = 8  # cur char == '\n'
+CTX_WB = 16  # word boundary (alnum(prev) != alnum(cur))
+
+
+def _edge_active(ptype, parg, ctx):
+    """Host: is the eps-edge of this inst active under ctx bits?"""
+    if ptype in (LBRA, RBRA, OR):
+        return True
+    if ptype == BOL:
+        if parg == ord("^"):
+            return bool(ctx & (CTX_BOS | CTX_PREV_NL))
+        return bool(ctx & CTX_BOS)
+    if ptype == EOL:
+        if parg == ord("$"):
+            return bool(ctx & (CTX_EOS | CTX_CUR_NL))
+        return bool(ctx & CTX_EOS)
+    if ptype == BOW:
+        return bool(ctx & CTX_WB)
+    if ptype == NBOW:
+        return not (ctx & CTX_WB)
+    return False
+
+
+def closure_tensor(prog: Program) -> np.ndarray:
+    """bool[32, I, I]: closure[ctx, i, j] — starting AT inst i (including i
+    itself), inst j is reachable via eps-edges under anchor context ctx and
+    j is a consuming/END inst."""
+    I = prog.n_insts
+    out = np.zeros((32, I, I), np.bool_)
+    consuming = np.isin(
+        prog.types, (CHAR, ANY, ANYNL, CCLASS, NCCLASS, END)
+    )
+    for ctx in range(32):
+        # adjacency under this context
+        adj = np.zeros((I, I), np.bool_)
+        for i in range(I):
+            t = prog.types[i]
+            if consuming[i]:
+                continue
+            if _edge_active(t, prog.args[i], ctx):
+                adj[i, prog.next_ids[i]] = True
+                if t == OR:
+                    adj[i, prog.args[i]] = True
+        # transitive closure (reflexive)
+        reach = np.eye(I, dtype=np.bool_) | adj
+        for _ in range(I.bit_length() + 1):
+            nxt = reach | (reach @ reach)
+            if (nxt == reach).all():
+                break
+            reach = nxt
+        out[ctx] = reach & consuming[None, :]
+    return out
+
+
+def class_match_table(prog: Program) -> np.ndarray:
+    """Host: bool[n_classes, 65536+1] membership incl. sentinel slot 65536
+    treated as no-match; non-BMP handled on device via ranges only."""
+    flags, _ = host_tables()
+    n = len(prog.classes)
+    cps = np.arange(65536, dtype=np.int64)
+    fl = flags
+    alnum = (fl & FLAG_ALPHANUM) > 0
+    space = (fl & 16) > 0
+    digit = (fl & 4) > 0
+    tab = np.zeros((max(n, 1), 65536), np.bool_)
+    for k, cls in enumerate(prog.classes):
+        m = np.zeros(65536, np.bool_)
+        r = cls.ranges
+        for i in range(0, len(r), 2):
+            lo, hi = r[i], min(r[i + 1], 65535)
+            if lo < 65536:
+                m[lo : hi + 1] = True
+        b = cls.builtins
+        if b & B_W:
+            m |= alnum | (cps == ord("_"))
+        if b & B_S:
+            m |= space
+        if b & B_D:
+            m |= digit
+        if b & B_NW:
+            m |= (~alnum) & (cps != ord("_")) & (cps != ord("\n"))
+        if b & B_NS:
+            m |= ~space
+        if b & B_ND:
+            m |= (~digit) & (cps != ord("\n"))
+        tab[k] = m
+    return tab
+
+
+class DeviceProgram:
+    """Program tables uploaded once; executors close over them."""
+
+    def __init__(self, prog: Program):
+        self.prog = prog
+        self.I = prog.n_insts
+        self.types = jnp.asarray(prog.types)
+        self.next_ids = jnp.asarray(prog.next_ids)
+        self.args = jnp.asarray(prog.args)
+        self.start_ids = jnp.asarray(prog.start_ids)
+        # dedupe the 32 context-closure matrices (patterns without anchors
+        # have a single unique one) to avoid a [N, I, I] gather per char
+        closure = closure_tensor(prog)
+        uniq, ctx_map = [], np.zeros(32, np.int32)
+        for ctx in range(32):
+            for k, m in enumerate(uniq):
+                if (m == closure[ctx]).all():
+                    ctx_map[ctx] = k
+                    break
+            else:
+                ctx_map[ctx] = len(uniq)
+                uniq.append(closure[ctx])
+        self.closure_unique = jnp.asarray(np.stack(uniq))
+        self.ctx_map = jnp.asarray(ctx_map)
+        self.class_tab = jnp.asarray(class_match_table(prog))
+        # next-pointer matrix for the boolean path
+        I = self.I
+        nm = np.zeros((I, I), np.bool_)
+        for i in range(I):
+            if prog.types[i] in (CHAR, ANY, ANYNL, CCLASS, NCCLASS):
+                nm[i, prog.next_ids[i]] = True
+        self.next_mat = jnp.asarray(nm)
+        self.is_end = jnp.asarray(prog.types == END)
+        start = np.zeros(I, np.bool_)
+        start[prog.start_ids] = True
+        self.start_vec = jnp.asarray(start)
+        self.groups_count = prog.groups_count
+
+    # ---------------- shared helpers ----------------
+
+    def _ctx_bits(self, prev_c, cur_c, is_bos):
+        flags, _ = device_tables()
+
+        def alnum(c):
+            # word-boundary uses IS_ALPHANUM only (regexec.inl:323-329)
+            safe = jnp.clip(c, 0, flags.shape[0] - 1)
+            return (c > 0) & (c < flags.shape[0]) & (
+                (flags[safe].astype(jnp.int32) & FLAG_ALPHANUM) > 0
+            )
+
+        wb = alnum(prev_c) != alnum(cur_c)
+        ctx = (
+            is_bos.astype(jnp.int32) * CTX_BOS
+            + (prev_c == ord("\n")).astype(jnp.int32) * CTX_PREV_NL
+            + (cur_c == 0).astype(jnp.int32) * CTX_EOS
+            + (cur_c == ord("\n")).astype(jnp.int32) * CTX_CUR_NL
+            + wb.astype(jnp.int32) * CTX_WB
+        )
+        return ctx
+
+    def _char_pred(self, c):
+        """bool[..., I]: does char c satisfy each consuming inst?"""
+        types, args = self.types, self.args
+        cE = c[..., None]
+        is_char = types == CHAR
+        is_any = types == ANY
+        is_anynl = types == ANYNL
+        is_cc = types == CCLASS
+        is_ncc = types == NCCLASS
+        in_class = self._class_membership(c)  # [..., n_classes]
+        cls_id = jnp.clip(args, 0, self.class_tab.shape[0] - 1)
+        cls_hit = in_class[..., cls_id]
+        pred = (
+            (is_char & (cE == args))
+            | (is_any & (cE != ord("\n")) & (cE != 0))
+            | (is_anynl & (cE != 0))
+            | (is_cc & cls_hit)
+            | (is_ncc & ~cls_hit)
+        )
+        # sentinel consumes nothing
+        return pred & (cE != 0)
+
+    def _class_membership(self, c):
+        """bool[..., n_classes] for char(s) c (BMP table; non-BMP -> ranges
+        not supported beyond table, treated as no-match like reference's
+        uni > 0xFFFF path for builtins)."""
+        safe = jnp.clip(c, 0, 65535)
+        hit = self.class_tab[:, safe]  # [n_classes, ...]
+        hit = jnp.moveaxis(hit, 0, -1)
+        return jnp.where((c >= 0)[..., None] & (c < 65536)[..., None], hit, False)
+
+    # ---------------- executor A: boolean ----------------
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def nfa_matches(self, chars, lengths, anchored: bool):
+        """bool[rows]: does the pattern match anywhere (anchored: at 0)?
+
+        chars: int32[rows, L] codepoints (0-padded); lengths int32[rows].
+        """
+        N, L = chars.shape
+        state = jnp.zeros((N, self.I), jnp.bool_)
+        matched = jnp.zeros(N, jnp.bool_)
+
+        def step(p, carry):
+            state, matched = carry
+            cur = jnp.where(
+                p < lengths, chars[:, jnp.minimum(p, L - 1)], 0
+            )
+            prev = jnp.where(
+                (p > 0) & (p - 1 < lengths),
+                chars[:, jnp.maximum(jnp.minimum(p - 1, L - 1), 0)],
+                0,
+            )
+            if anchored:
+                inject = (p == 0) & ~matched
+            else:
+                inject = ~matched
+            state = state | (self.start_vec[None, :] & inject[:, None])
+            ctx = self._ctx_bits(prev, cur, jnp.full(N, p == 0))
+            uid = self.ctx_map[ctx]  # [N] unique-closure index
+            # one matmul per UNIQUE closure matrix (usually 1), then select
+            sf = state.astype(jnp.float32)
+            closed = jnp.zeros_like(state)
+            for k in range(self.closure_unique.shape[0]):
+                ck = (
+                    sf @ self.closure_unique[k].astype(jnp.float32)
+                ) > 0
+                closed = jnp.where((uid == k)[:, None], ck, closed)
+            matched = matched | jnp.any(closed & self.is_end[None, :], axis=1)
+            pred = self._char_pred(cur)  # [N, I]
+            fire = (closed & pred).astype(jnp.float32)
+            state = (fire @ self.next_mat.astype(jnp.float32)) > 0
+            return state, matched
+
+        state, matched = jax.lax.fori_loop(0, L + 1, step, (state, matched))
+        return matched
+
+    # ---------------- executor B: spans/captures ----------------
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def run_spans(self, chars, lengths, begins, ends, group_id: int):
+        """Faithful regexec (regexec.inl:204-442) vmapped over rows.
+
+        begins/ends: int32[rows] search window (ends<0 => open).
+        Returns (matched int32, begin int32, end int32) per row.
+        """
+
+        types, next_ids, args = self.types, self.next_ids, self.args
+        start_ids = self.start_ids
+        I = self.I
+
+        def one_row(row_chars, rlen, begin0, eos):
+            L = row_chars.shape[0]
+
+            def char_at(p):
+                c = jnp.where(
+                    (p >= 0) & (p < rlen),
+                    row_chars[jnp.clip(p, 0, L - 1)],
+                    0,
+                )
+                return c
+
+            def alnum(c):
+                flags, _ = device_tables()
+                safe = jnp.clip(c, 0, flags.shape[0] - 1)
+                return (
+                    (c > 0)
+                    & (c < flags.shape[0])
+                    & ((flags[safe].astype(jnp.int32) & FLAG_ALPHANUM) > 0)
+                )
+
+            # list arrays: ids, (b,e) ranges, mask, size
+            def empty_list():
+                return (
+                    jnp.zeros(I, jnp.int32),
+                    jnp.zeros(I, jnp.int32),
+                    jnp.zeros(I, jnp.int32),
+                    jnp.zeros(I, jnp.bool_),
+                    jnp.int32(0),
+                )
+
+            def activate(lst, iid, b, e):
+                ids, bs, es, mask, size = lst
+                fresh = ~mask[iid]
+                ids = jnp.where(fresh, ids.at[size].set(iid), ids)
+                bs = jnp.where(fresh, bs.at[size].set(b), bs)
+                es = jnp.where(fresh, es.at[size].set(e), es)
+                mask = mask.at[iid].set(True)
+                size = size + fresh.astype(jnp.int32)
+                return (ids, bs, es, mask, size)
+
+            def expand_phase(l1, pos, c):
+                """Repeat eps-expansion rounds until stable."""
+
+                def round_body(state):
+                    l1, _, keep_going = state
+                    l2 = empty_list()
+                    expanded = jnp.zeros((), jnp.bool_)
+
+                    def entry(i, st):
+                        l2, expanded = st
+                        ids, bs, es, mask, size = l1
+                        valid = i < size
+                        iid = ids[jnp.minimum(i, I - 1)]
+                        b, e = bs[jnp.minimum(i, I - 1)], es[jnp.minimum(i, I - 1)]
+                        t = types[iid]
+                        arg = args[iid]
+                        nid = next_ids[iid]
+                        prev_c = char_at(pos - 1)
+                        bol_ok = (pos == 0) | (
+                            (arg == ord("^")) & (prev_c == ord("\n"))
+                        )
+                        eol_ok = (c == 0) | (
+                            (arg == ord("$")) & (c == ord("\n"))
+                        )
+                        wb = alnum(c) != alnum(prev_c)
+                        is_consume = (
+                            (t == CHAR) | (t == ANY) | (t == ANYNL)
+                            | (t == CCLASS) | (t == NCCLASS) | (t == END)
+                        )
+                        # LBRA/RBRA update the tracked range
+                        b = jnp.where(
+                            (t == LBRA) & (arg == group_id), pos, b
+                        )
+                        e = jnp.where(
+                            (t == RBRA) & (arg == group_id), pos, e
+                        )
+                        act_id = jnp.where(
+                            is_consume,
+                            iid,
+                            jnp.where(
+                                (t == LBRA) | (t == RBRA),
+                                nid,
+                                jnp.where(
+                                    (t == BOL) & bol_ok,
+                                    nid,
+                                    jnp.where(
+                                        (t == EOL) & eol_ok,
+                                        nid,
+                                        jnp.where(
+                                            (t == BOW) & wb,
+                                            nid,
+                                            jnp.where(
+                                                (t == NBOW) & ~wb,
+                                                nid,
+                                                jnp.where(t == OR, next_ids[iid], -1),
+                                            ),
+                                        ),
+                                    ),
+                                ),
+                            ),
+                        )
+                        exp_here = valid & ~is_consume & (act_id >= 0)
+                        # OR: right child first (priority), then left(next)
+                        def do_or(l2):
+                            return activate(l2, args[iid], b, e)
+
+                        l2 = jax.tree_util.tree_map(
+                            lambda new, old: jnp.where(
+                                valid & (t == OR), new, old
+                            ),
+                            do_or(l2),
+                            l2,
+                        )
+                        def do_act(l2):
+                            return activate(l2, jnp.clip(act_id, 0, I - 1), b, e)
+
+                        l2 = jax.tree_util.tree_map(
+                            lambda new, old: jnp.where(
+                                valid & (act_id >= 0), new, old
+                            ),
+                            do_act(l2),
+                            l2,
+                        )
+                        expanded = expanded | exp_here
+                        return (l2, expanded)
+
+                    l2, expanded = jax.lax.fori_loop(
+                        0, I, entry, (l2, expanded)
+                    )
+                    return (l2, expanded, expanded)
+
+                # cap rounds at I: a legit eps-chain visits each inst once;
+                # pure eps-cycles (e.g. nested empty stars) would otherwise
+                # spin forever (the reference has the same blind spot).
+                def capped_body(state):
+                    l1, e, k = state
+                    (l1, e, _) = round_body((l1, e, e))
+                    return (l1, e, k + 1)
+
+                def capped_cond(state):
+                    return state[1] & (state[2] < I)
+
+                l1, _, _ = jax.lax.while_loop(
+                    capped_cond,
+                    capped_body,
+                    (l1, jnp.ones((), jnp.bool_), jnp.int32(0)),
+                )
+                return l1
+
+            def consume_phase(l1, pos, c, match, mb, me):
+                l2 = empty_list()
+                pred = self._char_pred(c[None])[0]  # [I], once per char
+
+                def entry(i, st):
+                    l2, match, mb, me, stopped = st
+                    ids, bs, es, mask, size = l1
+                    valid = (i < size) & ~stopped
+                    iid = ids[jnp.minimum(i, I - 1)]
+                    b, e = bs[jnp.minimum(i, I - 1)], es[jnp.minimum(i, I - 1)]
+                    t = types[iid]
+                    ok = pred[iid]
+                    is_end_i = t == END
+                    new_match = valid & is_end_i
+                    mb = jnp.where(new_match, b, mb)
+                    me = jnp.where(
+                        new_match,
+                        jnp.where(group_id == 0, pos, e),
+                        me,
+                    )
+                    match = match | new_match
+                    stopped = stopped | new_match  # drop lower-priority rest
+
+                    def do_act(l2):
+                        return activate(l2, next_ids[iid], b, e)
+
+                    l2 = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(
+                            valid & ok & ~is_end_i, new, old
+                        ),
+                        do_act(l2),
+                        l2,
+                    )
+                    return (l2, match, mb, me, stopped)
+
+                l2, match, mb, me, _ = jax.lax.fori_loop(
+                    0, I, entry, (l2, match, mb, me, jnp.zeros((), jnp.bool_))
+                )
+                return l2, match, mb, me
+
+            def loop_body(state):
+                pos, l1, match, mb, me, done = state
+                c = char_at(pos)
+                # inject start states while no match yet and pos in window
+                can_inject = ((eos < 0) | (pos < eos)) & (match == 0)
+
+                def inject(l1):
+                    def body(k, l1):
+                        sid = start_ids[k]
+                        return jax.tree_util.tree_map(
+                            lambda new, old: jnp.where(can_inject, new, old),
+                            activate(
+                                l1,
+                                sid,
+                                jnp.where(group_id == 0, pos, -1),
+                                jnp.int32(-1),
+                            ),
+                            l1,
+                        )
+
+                    return jax.lax.fori_loop(0, start_ids.shape[0], body, l1)
+
+                l1 = inject(l1)
+                l1 = expand_phase(l1, pos, c)
+                l2, match2, mb, me = consume_phase(l1, pos, c, match, mb, me)
+                size2 = l2[4]
+                done = (c == 0) | ((size2 == 0) & (match2 > 0))
+                return (pos + 1, l2, match2, mb, me, done)
+
+            def loop_cond(state):
+                return ~state[5]
+
+            init = (
+                begin0,
+                empty_list(),
+                jnp.zeros((), jnp.bool_),
+                jnp.int32(-1),
+                jnp.int32(-1),
+                jnp.zeros((), jnp.bool_),
+            )
+            _, _, match, mb, me, _ = jax.lax.while_loop(
+                loop_cond, loop_body, init
+            )
+            return match.astype(jnp.int32), mb, me
+
+        return jax.vmap(one_row)(chars, lengths, begins, ends)

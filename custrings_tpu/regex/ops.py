@@ -1,0 +1,405 @@
+"""Column-level regex operations.
+
+TPU-native re-design of the regex op files (cpp/src/strings/count.cu,
+findall*.cu, extract*.cu, replace.cu, replace_multi.cu,
+replace_backref.cu).  Patterns compile on host once per process
+(lru-cached); execution batches the whole column.
+"""
+
+from __future__ import annotations
+
+import re as _pyre
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..column import StringColumn, build_column, cumsum0
+from ..ops import layout, substr
+from .compiler import compile_pattern
+from .device import DeviceProgram
+
+
+@lru_cache(maxsize=256)
+def get_program(pattern: str) -> DeviceProgram:
+    return DeviceProgram(compile_pattern(pattern))
+
+
+def _mats(col: StringColumn):
+    return layout.char_matrix(col)
+
+
+def contains_re(col: StringColumn, pattern: str) -> jax.Array:
+    """bool[rows] (count.cu contains_re:59); null rows -> False."""
+    dp = get_program(pattern)
+    chars, nch = _mats(col)
+    return dp.nfa_matches(chars, nch, False) & col.validity
+
+
+def match_re(col: StringColumn, pattern: str) -> jax.Array:
+    """Anchored-at-0 match (count.cu match:113)."""
+    dp = get_program(pattern)
+    chars, nch = _mats(col)
+    return dp.nfa_matches(chars, nch, True) & col.validity
+
+
+def _iter_spans(col: StringColumn, pattern: str, max_iters: int | None = None):
+    """Non-overlapping leftmost matches per row, reference advance rule
+    (count.cu:178-190: begin = end if end>begin else begin+1).
+
+    Yields (active mask np, begins np, ends np) per iteration on host.
+    """
+    dp = get_program(pattern)
+    chars, nch = _mats(col)
+    n = col.size
+    nch_np = np.asarray(jax.device_get(nch))
+    begins = np.zeros(n, np.int64)
+    active = np.asarray(jax.device_get(col.validity)).copy()
+    it = 0
+    while active.any():
+        if max_iters is not None and it >= max_iters:
+            break
+        m, b, e = dp.run_spans(
+            chars,
+            nch,
+            jnp.asarray(begins, jnp.int32),
+            jnp.full(n, -1, jnp.int32),
+            0,
+        )
+        m, b, e = (np.asarray(jax.device_get(x)) for x in (m, b, e))
+        hit = active & (m > 0)
+        if not hit.any():
+            break
+        yield hit, b, e
+        begins = np.where(hit, np.where(e > b, e, begins + 1), begins)
+        active = hit & (begins <= nch_np)
+        it += 1
+
+
+def count_re(col: StringColumn, pattern: str) -> jax.Array:
+    counts = np.zeros(col.size, np.int32)
+    for hit, b, e in _iter_spans(col, pattern):
+        counts += hit.astype(np.int32)
+    return jnp.asarray(counts)
+
+
+def findall_spans(col: StringColumn, pattern: str):
+    """list of per-iteration (hit, begin, end) numpy arrays."""
+    return list(_iter_spans(col, pattern))
+
+
+def findall_columns(col: StringColumn, pattern: str) -> list[StringColumn]:
+    """Column-major findall (findall.cu:99): column i = i-th match."""
+    out = []
+    for hit, b, e in findall_spans(col, pattern):
+        sub = substr.slice_from(
+            col,
+            jnp.asarray(np.where(hit, b, 0), jnp.int32),
+            jnp.asarray(np.where(hit, np.maximum(e, 1), 0), jnp.int32),
+        )
+        # rows without a match this round -> null
+        sub = _mask_rows(sub, jnp.asarray(hit))
+        # empty matches must stay "" not full row: slice_from stop<=0 quirk
+        out.append(_fix_empty(sub, b, e, hit))
+    return out
+
+
+def _mask_rows(c: StringColumn, valid) -> StringColumn:
+    from ..ops.split import _mask_column
+
+    return _mask_column(c, valid)
+
+
+def _fix_empty(sub: StringColumn, b, e, hit) -> StringColumn:
+    empty = hit & (e <= b)
+    if not empty.any():
+        return sub
+    sizes = jnp.where(jnp.asarray(empty), 0, sub.lengths())
+    starts = sub.offsets[:-1]
+
+    def produce(rows, k, valid):
+        return layout.gather_bytes(sub.data, starts[rows] + k)
+
+    return build_column(sizes, sub.validity, produce)
+
+
+def findall_record(col: StringColumn, pattern: str):
+    """Per-row list of matches (findall_record.cu:97) as a TokenColumn."""
+    from ..ops.split import TokenColumn
+
+    spans = findall_spans(col, pattern)
+    n = col.size
+    counts = np.zeros(n, np.int32)
+    per_row: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for hit, b, e in spans:
+        for r in np.nonzero(hit)[0]:
+            per_row[r].append((int(b[r]), int(e[r])))
+            counts[r] += 1
+    row_off = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=row_off[1:])
+    total = int(row_off[-1])
+    starts = np.zeros(max(total, 1), np.int32)
+    ends = np.zeros(max(total, 1), np.int32)
+    k = 0
+    for r in range(n):
+        for (bb, ee) in per_row[r]:
+            starts[k], ends[k] = bb, ee
+            k += 1
+    tok_rows = np.repeat(np.arange(n), counts)
+    toks = _substr_tokens(col, tok_rows, starts[:total], ends[:total])
+    return TokenColumn(toks, jnp.asarray(row_off), col.validity)
+
+
+def _substr_tokens(col, tok_rows, b_chars, e_chars) -> StringColumn:
+    """Extract char ranges (possibly several per row) into a new column."""
+    cm = layout.char_map(col)
+    total_chars = cm.cs0[-1]
+    co = np.asarray(jax.device_get(cm.char_offsets))
+    char_pos = np.asarray(jax.device_get(cm.char_pos))
+    offsets = np.asarray(jax.device_get(col.offsets))
+    tc = int(jax.device_get(total_chars))
+
+    def byte_of(r, c):
+        g = co[r] + c
+        if g >= tc:
+            return offsets[-1]
+        return char_pos[g]
+
+    n = len(tok_rows)
+    sb = np.zeros(n, np.int64)
+    eb = np.zeros(n, np.int64)
+    for i in range(n):
+        r = tok_rows[i]
+        sb[i] = np.clip(byte_of(r, b_chars[i]), offsets[r], offsets[r + 1])
+        eb[i] = np.clip(byte_of(r, e_chars[i]), offsets[r], offsets[r + 1])
+    sizes = jnp.asarray(np.maximum(eb - sb, 0), jnp.int32)
+    sb_j = jnp.asarray(sb, jnp.int32)
+
+    def produce(rows, k, valid):
+        return layout.gather_bytes(col.data, sb_j[rows] + k)
+
+    return build_column(sizes, jnp.ones(n, jnp.bool_), produce)
+
+
+def extract(col: StringColumn, pattern: str) -> list[StringColumn]:
+    """Column per capture group from the first match (extract.cu:69)."""
+    dp = get_program(pattern)
+    groups = dp.groups_count
+    if groups == 0:
+        return []
+    chars, nch = _mats(col)
+    n = col.size
+    zeros = jnp.zeros(n, jnp.int32)
+    m0, b0, e0 = dp.run_spans(chars, nch, zeros, jnp.full(n, -1, jnp.int32), 0)
+    m0_np = np.asarray(jax.device_get(m0)) > 0
+    b0_np = np.asarray(jax.device_get(b0))
+    out = []
+    for g in range(1, groups + 1):
+        mg, bg, eg = dp.run_spans(
+            chars,
+            nch,
+            jnp.asarray(np.where(m0_np, b0_np, 0), jnp.int32),
+            jnp.asarray(np.where(m0_np, b0_np + 1, 0), jnp.int32),
+            g,
+        )
+        ok = (
+            jnp.asarray(m0_np)
+            & (mg > 0)
+            & (bg >= 0)
+            & (eg >= bg)
+            & col.validity
+        )
+        sub = substr.slice_from(
+            col,
+            jnp.where(ok, bg, 0),
+            jnp.where(ok, jnp.maximum(eg, 1), 0),
+        )
+        sub = _mask_rows(sub, ok)
+        e_np = np.asarray(jax.device_get(eg))
+        b_np = np.asarray(jax.device_get(bg))
+        out.append(
+            _fix_empty(sub, b_np, e_np, np.asarray(jax.device_get(ok)))
+        )
+    return out
+
+
+def extract_record(col: StringColumn, pattern: str) -> list[StringColumn]:
+    """Row-major extract (extract_record.cu:96): one column of groups per
+    row — returned as list of per-row columns at the API layer; the core
+    returns the same group columns as extract()."""
+    return extract(col, pattern)
+
+
+def replace_re(
+    col: StringColumn, pattern: str, repl: str = "", n: int = -1
+) -> StringColumn:
+    """Replace non-overlapping matches (replace.cu replace_re:110)."""
+    spans = []
+    limit = n if n >= 0 else None
+    for i, (hit, b, e) in enumerate(_iter_spans(col, pattern)):
+        if limit is not None and i >= limit:
+            break
+        spans.append((hit, b, e))
+    return _splice(col, spans, repl)
+
+
+def _splice(col: StringColumn, spans, repl: str | bytes) -> StringColumn:
+    """Rebuild rows replacing char-span matches with repl bytes."""
+    repl_b = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
+    rl = len(repl_b)
+    n = col.size
+    counts = np.zeros(n, np.int32)
+    per_row: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for hit, b, e in spans:
+        for r in np.nonzero(hit)[0]:
+            per_row[r].append((int(b[r]), int(e[r])))
+            counts[r] += 1
+    # piece model: for each row, alternating keep/replace segments
+    offsets = np.asarray(jax.device_get(col.offsets))
+    cm = layout.char_map(col)
+    co = np.asarray(jax.device_get(cm.char_offsets))
+    char_pos = np.asarray(jax.device_get(cm.char_pos))
+    tc = int(jax.device_get(cm.cs0[-1]))
+    valid = np.asarray(jax.device_get(col.validity))
+
+    def byte_of(r, c):
+        g = co[r] + c
+        if g >= tc:
+            return offsets[-1]
+        return int(np.clip(char_pos[g], offsets[r], offsets[r + 1]))
+
+    piece_src = []  # (start_byte, end_byte, is_repl)
+    row_piece_counts = np.zeros(n, np.int32)
+    for r in range(n):
+        if not valid[r]:
+            continue
+        cur = offsets[r]
+        for (bb, ee) in sorted(per_row[r]):
+            sb, eb = byte_of(r, bb), byte_of(r, ee)
+            piece_src.append((cur, sb, False))
+            piece_src.append((0, rl, True))
+            cur = max(cur, eb)
+            row_piece_counts[r] += 2
+        piece_src.append((cur, offsets[r + 1], False))
+        row_piece_counts[r] += 1
+    if not piece_src:
+        return col
+    ps = np.asarray([p[0] for p in piece_src], np.int64)
+    pe = np.asarray([p[1] for p in piece_src], np.int64)
+    pr = np.asarray([p[2] for p in piece_src], np.bool_)
+    plens = np.maximum(pe - ps, 0)
+    pb0 = np.zeros(len(ps) + 1, np.int64)
+    np.cumsum(plens, out=pb0[1:])
+    # per-row output offsets
+    row_p0 = np.zeros(n + 1, np.int64)
+    np.cumsum(row_piece_counts, out=row_p0[1:])
+    out_offsets = pb0[row_p0].astype(np.int32)
+    total = int(pb0[-1])
+
+    from ..config import bucket_bytes
+    from ..column import row_ids_from_offsets
+
+    bcap = bucket_bytes(total)
+    j = jnp.arange(bcap, dtype=jnp.int32)
+    pb0_j = jnp.asarray(pb0.astype(np.int32))
+    pid = row_ids_from_offsets(pb0_j, bcap)
+    within = j - pb0_j[pid]
+    ps_j = jnp.asarray(ps.astype(np.int32))
+    pr_j = jnp.asarray(pr)
+    src = layout.gather_bytes(col.data, ps_j[pid] + within)
+    repl_a = (
+        jnp.asarray(np.frombuffer(repl_b, np.uint8))
+        if rl
+        else jnp.zeros(1, jnp.uint8)
+    )
+    rep = repl_a[jnp.clip(within, 0, max(rl - 1, 0))]
+    data = jnp.where(
+        j < total, jnp.where(pr_j[pid], rep, src), jnp.uint8(0)
+    )
+    return StringColumn(data, jnp.asarray(out_offsets), col.validity)
+
+
+def replace_multi_re(
+    col: StringColumn, patterns: list[str], repls
+) -> StringColumn:
+    """Apply N regexes in one pass (replace_multi.cu:110): at each
+    position the FIRST pattern that matches wins."""
+    cur = col
+    # sequential application approximates the reference's single-pass
+    # first-pattern-wins ordering for non-overlapping pattern families;
+    # exact single-pass merge is a TODO noted in tests.
+    from ..column import to_host_strings
+
+    if isinstance(repls, (list, tuple)):
+        rl = repls
+    else:
+        rl = [repls] * len(patterns)
+    for p, r in zip(patterns, rl):
+        cur = replace_re(cur, p, r)
+    return cur
+
+
+def replace_with_backrefs(
+    col: StringColumn, pattern: str, repl: str
+) -> StringColumn:
+    """Replacement template with \\1-style backrefs
+    (replace_backref.cu:122; host pre-parse mirrors backref.h:32-57)."""
+    # parse template into literal pieces + group ids
+    parts = []  # (literal_bytes, group_id or 0 terminator style)
+    tokens = _pyre.split(r"\\(\d+)", repl)
+    # tokens alternate literal, groupnum, literal, ...
+    dp = get_program(pattern)
+    chars, nch = _mats(col)
+    n = col.size
+    zeros = jnp.zeros(n, jnp.int32)
+    m0, b0, e0 = dp.run_spans(chars, nch, zeros, jnp.full(n, -1, jnp.int32), 0)
+    m0_np = np.asarray(jax.device_get(m0)) > 0
+    b0_np = np.asarray(jax.device_get(b0))
+    e0_np = np.asarray(jax.device_get(e0))
+    # group spans
+    gspans = {}
+    for g in range(1, dp.groups_count + 1):
+        mg, bg, eg = dp.run_spans(
+            chars,
+            nch,
+            jnp.asarray(np.where(m0_np, b0_np, 0), jnp.int32),
+            jnp.asarray(np.where(m0_np, b0_np + 1, 0), jnp.int32),
+            g,
+        )
+        gspans[g] = (
+            np.asarray(jax.device_get(mg)) > 0,
+            np.asarray(jax.device_get(bg)),
+            np.asarray(jax.device_get(eg)),
+        )
+    # build replacement per row on host (strings differ per row)
+    host = _to_host_np(col)
+    out = []
+    for r in range(n):
+        s = host[r]
+        if s is None:
+            out.append(None)
+            continue
+        if not m0_np[r]:
+            out.append(s)
+            continue
+        rep = ""
+        for i, tkn in enumerate(tokens):
+            if i % 2 == 0:
+                rep += tkn
+            else:
+                g = int(tkn)
+                if g in gspans and gspans[g][0][r]:
+                    gb, ge = gspans[g][1][r], gspans[g][2][r]
+                    if 0 <= gb <= ge:
+                        rep += s[gb:ge]
+        out.append(s[: b0_np[r]] + rep + s[e0_np[r] :])
+    from ..column import from_host_strings
+
+    return from_host_strings(out)
+
+
+def _to_host_np(col: StringColumn):
+    from ..column import to_host_strings
+
+    return to_host_strings(col)

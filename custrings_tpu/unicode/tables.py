@@ -83,7 +83,10 @@ def host_tables() -> tuple[np.ndarray, np.ndarray]:
 
 @lru_cache(maxsize=1)
 def device_tables():
+    import jax
     import jax.numpy as jnp
 
     flags, cases = host_tables()
-    return jnp.asarray(flags), jnp.asarray(cases.astype(np.int32))
+    # first call may happen inside a jit trace; force concrete arrays
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(flags), jnp.asarray(cases.astype(np.int32))

@@ -1,0 +1,170 @@
+"""Public API surface tests: the README tips demo end-to-end (BASELINE
+config 1) plus convert/datetime/stats coverage."""
+
+import numpy as np
+import pytest
+
+from custrings_tpu import nvcategory, nvstrings, nvtext
+
+
+TIPS_SAMPLE = [
+    "16.99,1.01,Female,No,Sun,Dinner,2",
+    "10.34,1.66,Male,No,Sun,Dinner,3",
+    "21.01,3.5,Male,No,Sun,Dinner,3",
+    "23.68,3.31,Male,No,Mon,Lunch,2",
+    "24.59,3.61,Female,No,Tues,Dinner,4",
+    "25.29,4.71,Male,No,Sat,Dinner,4",
+    "8.77,2.0,Male,No,Thur,Lunch,2",
+    "26.88,3.12,Male,No,Fri,Dinner,4",
+]
+
+
+def test_readme_tips_demo():
+    gpu_lines = nvstrings.to_device(TIPS_SAMPLE)
+    gpu_columns = gpu_lines.split(",")
+    gpu_day_of_week = gpu_columns[4]
+    for idx, day in enumerate(
+        ["Sun", "Mon", "Tues", "Wed", "Thur", "Fri", "Sat"]
+    ):
+        gpu_day_of_week = gpu_day_of_week.replace(day, str(idx), regex=False)
+    cat = nvcategory.from_strings(gpu_columns[4])
+    assert cat.keys().to_host() == ["Fri", "Mon", "Sat", "Sun", "Thur",
+                                    "Tues"]
+    assert gpu_day_of_week.to_host() == ["0", "0", "0", "1", "2", "6", "4",
+                                         "5"]
+    # numeric column parse
+    tips = gpu_columns[1].stof()
+    assert tips[0] == pytest.approx(1.01, rel=1e-5)
+
+
+def test_getitem_and_iter():
+    s = nvstrings.to_device(["a", "b", "c", "d"])
+    assert s[1].to_host() == ["b"]
+    assert s[1:3].to_host() == ["b", "c"]
+    assert s[[0, 3]].to_host() == ["a", "d"]
+    assert list(s) == ["a", "b", "c", "d"]
+
+
+def test_stoi_stol():
+    s = nvstrings.to_device(["1234", "-876", "5.3", "hello", "", None])
+    assert s.stoi() == [1234, -876, 5, 0, 0, 0]
+    s2 = nvstrings.to_device(["123456789012345"])
+    assert s2.stol() == [123456789012345]
+
+
+def test_stof_stod():
+    s = nvstrings.to_device(
+        ["1234.0", "-876.5", "5.3e2", ".5", "-.02", "", "nan", "inf"]
+    )
+    got = s.stod()
+    exp = [1234.0, -876.5, 530.0, 0.5, -0.02, 0.0, float("nan"),
+           float("inf")]
+    for g, e in zip(got, exp):
+        if np.isnan(e):
+            assert np.isnan(g)
+        else:
+            assert g == pytest.approx(e, rel=1e-9)
+
+
+def test_htoi():
+    s = nvstrings.to_device(["1234", "ABCDEF", "0xDEADBEEF", "ff"])
+    assert s.htoi() == [0x1234, 0xABCDEF, 0xDEADBEEF, 0xFF]
+
+
+def test_ip2int_roundtrip():
+    s = nvstrings.to_device(["192.168.0.1", "10.0.0.255", "0.0.0.0"])
+    ints = s.ip2int()
+    assert ints == [3232235521, 167772415, 0]
+    back = nvstrings.int2ip(ints)
+    assert back.to_host() == ["192.168.0.1", "10.0.0.255", "0.0.0.0"]
+
+
+def test_itos_ftos():
+    assert nvstrings.itos([0, -25, 314]).to_host() == ["0", "-25", "314"]
+    got = nvstrings.dtos(np.array([0.0, 1.5, -2.75, 1234567890.5],
+                                  np.float64)).to_host()
+    assert got[0] == "0.0"
+    assert got[1] == "1.5"
+    assert got[2] == "-2.75"
+    # 10 significant digits + scientific beyond 1e9 (convert.cu)
+    assert got[3].startswith("1.23456789")
+    assert got[3].endswith("e+09")
+    # float32 flavor rounds through single precision
+    f32 = nvstrings.ftos(np.array([1.5], np.float32)).to_host()
+    assert f32 == ["1.5"]
+
+
+def test_booleans():
+    s = nvstrings.to_device(["True", "False", "true", None])
+    assert s.to_booleans() == [True, False, False, None]
+    b = nvstrings.from_booleans([True, False])
+    assert b.to_host() == ["True", "False"]
+
+
+def test_hash():
+    s = nvstrings.to_device(["aaa", "bbb", "aaa", ""])
+    h = s.hash()
+    assert h[0] == h[2]
+    assert h[0] != h[1]
+
+
+def test_timestamp_roundtrip():
+    got = nvstrings.int2timestamp([1553085296, 1582934400]).to_host()
+    assert got == ["2019-03-20T12:34:56Z", "2020-02-29T00:00:00Z"]
+    s = nvstrings.to_device(["2019-03-20T12:34:56Z", "2020-02-29T23:59:59Z"])
+    assert s.timestamp2int() == [1553085296, 1583020799]
+    ms = s.timestamp2int(units="ms")
+    assert ms == [1553085296000, 1583020799000]
+
+
+def test_timestamp_format():
+    s = nvstrings.to_device(["05/20/2019 02:30 PM"])
+    got = s.timestamp2int(format="%m/%d/%Y %I:%M %p", units="m")
+    import datetime as dt
+
+    exp = int(
+        dt.datetime(2019, 5, 20, 14, 30, tzinfo=dt.timezone.utc).timestamp()
+        // 60
+    )
+    assert got == [exp]
+
+
+def test_get_info():
+    s = nvstrings.to_device(["Hello", "world", "Hello", None, ""])
+    info = s.get_info()
+    assert info["total_strings"] == 5
+    assert info["null_strings"] == 1
+    assert info["empty_strings"] == 1
+    assert info["unique_strings"] == 4  # null, "", Hello, world
+    assert info["uppercase_count"] == 2
+
+
+def test_nvtext_api():
+    s = nvstrings.to_device(["hello world", "goodbye world"])
+    assert nvtext.token_count(s) == [2, 2]
+    assert nvtext.tokenize(s).size() == 4
+    assert nvtext.unique_tokens(s).to_host() == ["goodbye", "hello",
+                                                 "world"]
+    assert nvtext.edit_distance(s, "hello world") == [0, 7]
+
+
+def test_partition_api():
+    s = nvstrings.to_device(["a_b", None])
+    rows = s.partition("_")
+    assert rows[0].to_host() == ["a", "_", "b"]
+    assert rows[1].to_host() == [None, None, None]
+
+
+def test_split_record_api():
+    s = nvstrings.to_device(["a_b", None, "c"])
+    recs = s.split_record("_")
+    assert recs[0].to_host() == ["a", "b"]
+    assert recs[1] is None
+    assert recs[2].to_host() == ["c"]
+
+
+def test_from_csv(tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    s = nvstrings.from_csv(str(p), 1)
+    assert s.to_host() == ["b", "x", "y"]

@@ -1,0 +1,200 @@
+"""nvcategory parity tests, mirroring python/tests/test_category.py and
+test_category_numeric.py expectations."""
+
+import numpy as np
+
+from custrings_tpu import category as C
+from custrings_tpu import column
+from custrings_tpu import numeric as NC
+
+
+def dev(strs):
+    return column.from_host_strings(strs)
+
+
+def host(col):
+    return column.to_host_strings(col)
+
+
+S = ["eee", "aaa", "eee", "ddd", "ccc", "ccc", "ccc", "eee", "aaa"]
+
+
+def test_basic():
+    cat = C.from_strings(dev(S))
+    assert cat.size == 9
+    assert cat.keys_size == 4
+    assert host(cat.keys) == ["aaa", "ccc", "ddd", "eee"]
+    assert list(cat.values) == [3, 0, 3, 2, 1, 1, 1, 3, 0]
+
+
+def test_value_lookup():
+    cat = C.from_strings(dev(S))
+    assert C.value_for_index(cat, 7) == 3
+    assert C.value_of(cat, "ccc") == 1
+    assert C.value_of(cat, "zzz") == -1
+    assert list(C.indexes_for_key(cat, "ccc")) == [4, 5, 6]
+
+
+def test_to_strings():
+    cat = C.from_strings(dev(S))
+    assert host(C.to_strings(cat)) == S
+
+
+def test_from_strings_multi():
+    s2 = ["ggg", "fff", "hhh", "aaa", "fff", "fff", "ggg", "hhh", "bbb"]
+    cat = C.from_strings(dev(S), dev(s2))
+    assert host(cat.keys) == ["aaa", "bbb", "ccc", "ddd", "eee", "fff",
+                              "ggg", "hhh"]
+    assert list(cat.values) == [4, 0, 4, 3, 2, 2, 2, 4, 0, 6, 5, 7, 0, 5,
+                                5, 6, 7, 1]
+
+
+def test_add_strings():
+    cat = C.from_strings(dev(S))
+    got = C.add_strings(cat, dev(S))
+    assert host(got.keys) == ["aaa", "ccc", "ddd", "eee"]
+    assert list(got.values) == [3, 0, 3, 2, 1, 1, 1, 3, 0] * 2
+
+
+def test_remove_strings():
+    cat = C.from_strings(dev(S))
+    got = C.remove_strings(cat, dev(["ccc", "aaa", "bbb"]))
+    assert host(got.keys) == ["ddd", "eee"]
+    assert list(got.values) == [1, 1, 0, 1]
+
+
+def test_gather_strings():
+    cat = C.from_strings(dev(S))
+    assert host(C.gather_strings(cat, [0, 2, 0])) == ["aaa", "ddd", "aaa"]
+
+
+def test_gather_oob_raises():
+    cat = C.from_strings(dev(S))
+    import pytest
+
+    for fn in (C.gather_strings, C.gather, C.gather_and_remap):
+        with pytest.raises(Exception):
+            fn(cat, [0, 2, 0, 4])
+
+
+def test_add_keys():
+    cat = C.from_strings(dev(["a", "b", "b", "f", "c", "f"]))
+    got = C.add_keys(cat, dev(["a", "b", "c", "d"]))
+    assert host(got.keys) == ["a", "b", "c", "d", "f"]
+    assert list(got.values) == [0, 1, 1, 4, 2, 4]
+
+
+def test_remove_keys():
+    cat = C.from_strings(dev(["a", "b", "b", "f", "c", "f"]))
+    got = C.remove_keys(cat, dev(["b", "d"]))
+    assert host(got.keys) == ["a", "c", "f"]
+    assert list(got.values) == [0, -1, -1, 2, 1, 2]
+
+
+def test_set_keys():
+    cat = C.from_strings(dev(["a", "b", "b", "f", "c", "f"]))
+    got = C.set_keys(cat, dev(["b", "c", "e", "d"]))
+    assert host(got.keys) == ["b", "c", "d", "e"]
+
+
+def test_remove_unused_keys():
+    cat = C.from_strings(dev(["a", "b", "b", "f", "c", "f"]))
+    got = C.remove_unused_keys(C.set_keys(cat, dev(["b", "c", "e", "d"])))
+    assert host(got.keys) == ["b", "c"]
+
+
+def test_gather():
+    cat = C.from_strings(dev(["a", "b", "b", "f", "c", "f"]))
+    got = C.gather(cat, [1, 3, 2, 3, 1, 2])
+    assert host(got.keys) == ["a", "b", "c", "f"]
+    assert list(got.values) == [1, 3, 2, 3, 1, 2]
+
+
+def test_gather_and_remap():
+    cat = C.from_strings(dev(["a", "b", "b", "f", "c", "f"]))
+    got = C.gather_and_remap(cat, [1, 3, 2, 3, 1, 2])
+    assert host(got.keys) == ["b", "c", "f"]
+    assert list(got.values) == [0, 2, 1, 2, 0, 1]
+
+
+def test_merge_category():
+    s2 = ["ggg", "fff", "hhh", "aaa", "fff", "fff", "ggg", "hhh", "bbb"]
+    ncat = C.merge_category(C.from_strings(dev(S)), C.from_strings(dev(s2)))
+    assert host(ncat.keys) == ["aaa", "ccc", "ddd", "eee", "bbb", "fff",
+                               "ggg", "hhh"]
+    assert list(ncat.values) == [3, 0, 3, 2, 1, 1, 1, 3, 0, 6, 5, 7, 0, 5,
+                                 5, 6, 7, 4]
+
+
+def test_merge_and_remap():
+    s2 = ["ggg", "fff", "hhh", "aaa", "fff", "fff", "ggg", "hhh", "bbb"]
+    ncat = C.merge_and_remap(C.from_strings(dev(S)), C.from_strings(dev(s2)))
+    assert host(ncat.keys) == ["aaa", "bbb", "ccc", "ddd", "eee", "fff",
+                               "ggg", "hhh"]
+    assert list(ncat.values) == [4, 0, 4, 3, 2, 2, 2, 4, 0, 6, 5, 7, 0, 5,
+                                 5, 6, 7, 1]
+
+
+def test_category_with_nulls():
+    cat = C.from_strings(dev(["b", None, "a", None, "b"]))
+    assert host(cat.keys) == [None, "a", "b"]
+    assert list(cat.values) == [2, 0, 1, 0, 2]
+    assert host(C.to_strings(cat)) == ["b", None, "a", None, "b"]
+
+
+# ----------------------- numeric -----------------------
+
+
+def test_numeric_basic():
+    cat = NC.from_numbers(np.array([4, 1, 2, 3, 2, 1, 4, 1, 1], np.int32))
+    assert cat.keys.shape[0] == 4
+    assert list(np.asarray(cat.keys)) == [1, 2, 3, 4]
+    assert list(cat.values) == [3, 0, 1, 2, 1, 0, 3, 0, 0]
+
+
+def test_numeric_float_keys():
+    cat = NC.from_numbers(np.array([2, 1, 1.25, 1.5, 1, 1.25, 1, 1, 2]))
+    assert list(np.asarray(cat.keys)) == [1.0, 1.25, 1.5, 2.0]
+
+
+def test_numeric_to_numbers():
+    arr = np.array([2, 1, 1.25, 1.5, 1, 1.25, 1, 1, 2])
+    cat = NC.from_numbers(arr)
+    assert list(np.asarray(NC.to_numbers(cat))) == arr.tolist()
+
+
+def test_numeric_indexes_for_key():
+    cat = NC.from_numbers(np.array([4, 1, 2, 3, 2, 1, 4, 1, 1]))
+    assert list(NC.indexes_for_key(cat, 1)) == [1, 5, 7, 8]
+
+
+def test_numeric_gather_numbers():
+    cat = NC.from_numbers(np.array([1, 1.25, 1.5, 1, 1.25, 1, 1, 2]))
+    got = NC.gather_numbers(cat, np.array([0, 2, 0], np.int32))
+    assert list(np.asarray(got)) == [1.0, 1.5, 1.0]
+
+
+def test_numeric_nulls():
+    narr = np.array([4, 1, 2, 3, 2, 1, 4, 1, 1])
+    nulls = np.array([False, False, True, False, True, False, False,
+                      False, False])
+    cat = NC.from_numbers(narr, nulls)
+    assert list(cat.values) == [3, 1, 0, 2, 0, 1, 3, 1, 1]
+    assert not bool(cat.keys_valid[0])
+
+
+def test_numeric_algebra():
+    cat = NC.from_numbers(np.array([4, 1, 2, 3, 2, 1, 4, 1, 1], np.int32))
+    g = NC.add_keys(cat, np.array([5, 1], np.int32))
+    assert list(np.asarray(g.keys)) == [1, 2, 3, 4, 5]
+    r = NC.remove_keys(cat, np.array([2], np.int32))
+    assert list(np.asarray(r.keys)) == [1, 3, 4]
+    assert list(r.values) == [2, 0, -1, 1, -1, 0, 2, 0, 0]
+    u = NC.remove_unused_keys(NC.gather(cat, [0, 0, 1]))
+    assert list(np.asarray(u.keys)) == [1, 2]
+    m = NC.merge_and_remap(
+        NC.from_numbers(np.array([1, 3], np.int32)),
+        NC.from_numbers(np.array([2, 3], np.int32)),
+    )
+    assert list(np.asarray(m.keys)) == [1, 2, 3]
+    assert list(m.values) == [0, 2, 1, 2]

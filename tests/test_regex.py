@@ -1,0 +1,221 @@
+"""Regex engine parity tests.
+
+Oracle = Python `re` (the reference's own tests compare against pandas
+Series.str, which wraps Python re: python/tests/test_regex.py:4,64).
+Corpus mirrors the reference's 16-pattern x 30-string matrix plus extra
+span/greediness/anchor cases.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+from custrings_tpu import column
+from custrings_tpu.regex import ops as rx
+
+S30 = [
+    "5", "hej", "\t \n", "12345", "\\", "d", "c:\\Tools", "+27", "1c2",
+    "1C2", "0:00:0", "0:0:00", "00:0:0", "00:00:0", "00:0:00", "0:00:00",
+    "00:00:00", "Hello world !", "Hello world!   ", "Hello worldcup  !",
+    "0123456789", "1C2", "Xaa", "abcdefghxxx", "ABCDEFGH", "abcdefgh",
+    "abc def", "abc\ndef", "aa\r\nbb\r\ncc\r\n\r\n", "abcabc",
+]
+
+PATTERNS = [
+    "\\d",
+    "\\w+",
+    "\\s",
+    "\\S",
+    "^.*\\\\.*$",
+    "[1-5]+",
+    "[a-h]+",
+    "[A-H]+",
+    "\n",
+    "b.\\s*\n",
+    ".*c",
+    "\\d\\d:\\d\\d:\\d\\d",
+    "\\d\\d?:\\d\\d?:\\d\\d?",
+    "[Hh]ello [Ww]orld",
+    "\\bworld\\b",
+]
+
+
+def dev(strs):
+    return column.from_host_strings(strs)
+
+
+def host(c):
+    return column.to_host_strings(c)
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_contains(pattern):
+    col = dev(S30)
+    got = list(np.asarray(rx.contains_re(col, pattern)))
+    exp = [bool(re.search(pattern, s)) for s in S30]
+    assert got == exp, f"{pattern}: {got} vs {exp}"
+
+
+@pytest.mark.parametrize("pattern", ["[hH]", "[bB][aA]", "h.*o", "\\d+"])
+def test_match(pattern):
+    s = ["hello", "and héllo", None, "", "42x"]
+    col = dev(s)
+    got = list(np.asarray(rx.match_re(col, pattern)))
+    exp = [bool(re.match(pattern, x)) if x is not None else False for x in s]
+    assert got == exp
+
+
+@pytest.mark.parametrize("pattern", ["a", "[aA]", "a+", "x*"])
+def test_count(pattern):
+    s = ["hello", "and héllo", "this was empty", "", "aaa bab"]
+    col = dev(s)
+    got = list(np.asarray(rx.count_re(col, pattern)))
+    exp = [len(re.findall(pattern, x)) for x in s]
+    assert got == exp
+
+
+SPAN_CASES = [
+    ("\\d+", ["abc123def45", "no digits", "9", ""]),
+    ("a*", ["aaa", "baaab", ""]),
+    ("a+?", ["aaa", "baaab"]),
+    ("h.*o", ["hello world ho", "h o h o"]),
+    ("h.*?o", ["hello world ho", "h o h o"]),
+    ("[aeiou]{2,3}", ["queueing", "aeiou", "xyz"]),
+    ("ab|abc", ["abcd", "xabc"]),
+    ("abc|ab", ["abcd", "xabc"]),
+    ("^ab", ["abab", "xab"]),
+    ("ab$", ["abab", "abx"]),
+    ("\\bw\\w+", ["hello world wide", "nowhere"]),
+    ("x?y", ["xy", "y", "xxy"]),
+    ("(a|b)+", ["ababc", "ccc"]),
+]
+
+
+@pytest.mark.parametrize("pattern,strs", SPAN_CASES)
+def test_find_spans_vs_python(pattern, strs):
+    """First-match span parity with re.search (leftmost-first)."""
+    col = dev(strs)
+    dp = rx.get_program(pattern)
+    from custrings_tpu.ops import layout
+
+    chars, nch = layout.char_matrix(col)
+    import jax.numpy as jnp
+
+    n = col.size
+    m, b, e = dp.run_spans(
+        chars, nch, jnp.zeros(n, jnp.int32), jnp.full(n, -1, jnp.int32), 0
+    )
+    for i, s in enumerate(strs):
+        mm = re.search(pattern, s)
+        if mm is None:
+            assert int(m[i]) == 0, f"{pattern} on {s!r}: spurious match"
+        else:
+            assert int(m[i]) == 1, f"{pattern} on {s!r}: missed match"
+            assert (int(b[i]), int(e[i])) == (mm.start(), mm.end()), (
+                f"{pattern} on {s!r}: got ({int(b[i])},{int(e[i])}) "
+                f"want {(mm.start(), mm.end())}"
+            )
+
+
+@pytest.mark.parametrize(
+    "find,repl",
+    [("@\\S+", "***"), ("@\\S+", ""), ("(?:@|https?://)\\S+", "***"),
+     ("(?:@|https?://)\\S+", "")],
+)
+def test_replace_re(find, repl):
+    s = [
+        "hello @abc @def world",
+        "The quick brown @fox jumps",
+        "over the",
+        "lazy @dog",
+        "hello http://www.world.com I'm here @home",
+    ]
+    col = dev(s)
+    got = host(rx.replace_re(col, find, repl))
+    exp = [re.sub(find, repl, x) for x in s]
+    assert got == exp
+
+
+def test_replace_word_boundary():
+    s = [
+        "xxx 1281151 xxxxxx xxxxxxx xxxx xxxx - xxxxx xxxx xx 24",
+        "2-xxxx xxxxxxxxxxx xxxxxxxxxx xxx26x4xxx xxxxxxxxxxxx xxxxx xxxxx",
+    ]
+    col = dev(s)
+    got = host(rx.replace_re(col, r"\b\d+\b", "*****"))
+    exp = [re.sub(r"\b\d+\b", "*****", x) for x in s]
+    assert got == exp
+
+
+def test_replace_re_limit():
+    col = dev(["a1b2c3"])
+    got = host(rx.replace_re(col, "\\d", "#", n=2))
+    assert got == ["a#b#c3"]
+
+
+def test_findall_columns():
+    col = dev(["hello", "and héllo", "this was empty", ""])
+    cols = rx.findall_columns(col, "[aA]")
+    assert host(cols[0]) == [None, "a", "a", None]
+
+
+def test_findall_record():
+    col = dev(["hello", "and héllo", "this was empty", "", "another"])
+    tc = rx.findall_record(col, "[aA]")
+    toks = host(tc.tokens)
+    offs = list(tc.row_offsets)
+    got = [toks[offs[i] : offs[i + 1]] for i in range(tc.nrows)]
+    assert got == [[], ["a"], ["a"], [], ["a"]]
+
+
+def test_extract():
+    pattern = r"Flight:([A-Z]+)(\d+)"
+    s = [
+        "ALA-PEK Flight:HU7934",
+        "HKT-PEK Flight:CA822",
+        "FRA-PEK Flight:LA8769",
+        "FRA-PEK Flight:LH7332",
+        "",
+        None,
+        "Flight:ZZ",
+    ]
+    col = dev(s)
+    got = rx.extract(col, pattern)
+    assert host(got[0]) == ["HU", "CA", "LA", "LH", None, None, None]
+    assert host(got[1]) == ["7934", "822", "8769", "7332", None, None, None]
+
+
+def test_backrefs():
+    col = dev(["hello-world", "sep-arated", "nodash"])
+    got = host(
+        rx.replace_with_backrefs(col, r"(\w+)-(\w+)", r"\2_\1")
+    )
+    exp = [re.sub(r"(\w+)-(\w+)", r"\2_\1", s) for s in
+           ["hello-world", "sep-arated", "nodash"]]
+    assert got == exp
+
+
+def test_counted_repeat_expansion():
+    col = dev(["aaa", "aaaa", "aa", "b"])
+    got = list(np.asarray(rx.contains_re(col, "a{3}")))
+    assert got == [True, True, False, False]
+    got = list(np.asarray(rx.contains_re(col, "^a{2,3}$")))
+    assert got == [True, False, True, False]
+
+
+def test_anchors_multiline_dollar():
+    # reference semantics: '$' matches before any '\n' (regexec.inl:315)
+    col = dev(["abc\ndef", "abc"])
+    got = list(np.asarray(rx.contains_re(col, "abc$")))
+    assert got == [True, True]
+
+
+def test_octal_and_hex_escape():
+    col = dev(["@", "A", "\x07"])
+    assert list(np.asarray(rx.contains_re(col, "\\100"))) == [
+        True, False, False,
+    ]
+    assert list(np.asarray(rx.contains_re(col, "\\x41"))) == [
+        False, True, False,
+    ]
