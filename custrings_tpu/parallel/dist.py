@@ -1,0 +1,209 @@
+"""Multi-chip distributed string ops over a jax.sharding.Mesh.
+
+The reference is single-GPU (SURVEY §2.8: no NCCL/MPI; only CUDA IPC).  The
+TPU engine adds the missing dimension: columns are row-sharded across a
+"data" mesh axis, elementwise ops run shard-local, and the dictionary build
+becomes the collective key-merge:
+
+    local sort-unique (per shard, static key bound)
+      -> all_gather candidate key words over ICI
+      -> replicated merge sort-unique -> global dense ranks
+      -> local value remap
+
+Everything inside is jit-pure (static shapes, no host syncs): the dynamic
+key-count problem is solved with a fixed per-shard key capacity (bounded by
+rows-per-shard) plus validity masks, instead of the host ping-pong the
+single-chip path uses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..column import StringColumn
+
+
+def shard_column(col: StringColumn, n_shards: int):
+    """Host-side: split rows into n_shards equal shards with equal byte
+    capacities -> stacked arrays [S, ...] ready for a 'data' mesh axis.
+
+    Returns (data[S, cap], offsets[S, R+1], validity[S, R]).
+    Rows pad with trailing null rows; bytes pad with zeros.
+    """
+    import jax as _jax
+
+    offsets = np.asarray(_jax.device_get(col.offsets))
+    data = np.asarray(_jax.device_get(col.data))
+    validity = np.asarray(_jax.device_get(col.validity))
+    n = col.size
+    rows_per = -(-n // n_shards)
+    caps = []
+    for s in range(n_shards):
+        lo, hi = s * rows_per, min((s + 1) * rows_per, n)
+        caps.append(int(offsets[hi] - offsets[lo]) if hi > lo else 0)
+    cap = max(max(caps), 1)
+    cap = -(-cap // 128) * 128
+    d = np.zeros((n_shards, cap), np.uint8)
+    o = np.zeros((n_shards, rows_per + 1), np.int32)
+    v = np.zeros((n_shards, rows_per), np.bool_)
+    a = np.zeros((n_shards, rows_per), np.bool_)
+    for s in range(n_shards):
+        lo, hi = s * rows_per, min((s + 1) * rows_per, n)
+        if hi <= lo:
+            continue  # all-padding shard
+        nb = int(offsets[hi] - offsets[lo])
+        d[s, :nb] = data[offsets[lo] : offsets[hi]]
+        local_off = offsets[lo : hi + 1] - offsets[lo]
+        o[s, : hi - lo + 1] = local_off
+        o[s, hi - lo + 1 :] = nb
+        v[s, : hi - lo] = validity[lo:hi]
+        a[s, : hi - lo] = True
+    return jnp.asarray(d), jnp.asarray(o), jnp.asarray(v), jnp.asarray(a)
+
+
+def _pack_words(data, offsets, width):
+    """jit-pure packed big-endian uint32 key words [R, width//4]."""
+    nrows = offsets.shape[0] - 1
+    cap = data.shape[0]
+    starts = offsets[:-1][:, None]
+    lens = (offsets[1:] - offsets[:-1])[:, None]
+    k = jnp.arange(width, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(starts + k, cap - 1)
+    view = jnp.where(k < lens, data[idx], jnp.uint8(0)).astype(jnp.uint32)
+    w4 = view.reshape(nrows, -1, 4)
+    return (
+        (w4[..., 0] << 24) | (w4[..., 1] << 16) | (w4[..., 2] << 8) | w4[..., 3]
+    )
+
+
+def _sort_unique_ranks(words, lens, valid, row_alive):
+    """jit-pure dense-rank encode over [R, W] words.
+
+    row_alive masks padding rows (they sort last, get rank -1).
+    Returns (values int32[R], uniq_words uint32[R, W], uniq_lens, uniq_valid
+    bool-ish arrays at fixed capacity R, uniq_alive bool[R]).
+    """
+    R, W = words.shape
+    inv = jnp.uint32(0xFFFFFFFF)
+    keys = [jnp.where(row_alive, 0, 1).astype(jnp.uint32)]
+    keys.append(valid.astype(jnp.uint32))  # nulls first among alive
+    for i in range(W):
+        keys.append(words[:, i])
+    keys.append(lens.astype(jnp.uint32))
+    rows = jnp.arange(R, dtype=jnp.int32)
+    out = jax.lax.sort(tuple(keys) + (rows,), num_keys=len(keys))
+    order = out[-1]
+    sw = words[order]
+    sl = lens[order]
+    sv = valid[order]
+    sa = row_alive[order]
+    if R > 1:
+        row_neq = (
+            jnp.any(sw[1:] != sw[:-1], axis=1)
+            | (sl[1:] != sl[:-1])
+            | (sv[1:] != sv[:-1])
+        )
+        both_null = (~sv[1:]) & (~sv[:-1])
+        row_neq = row_neq & ~both_null
+        # padding rows must never merge with real keys
+        row_neq = row_neq | (sa[1:] != sa[:-1])
+        neq = jnp.concatenate([jnp.zeros(1, jnp.bool_), row_neq])
+    else:
+        neq = jnp.zeros(R, jnp.bool_)
+    ranks = jnp.cumsum(neq.astype(jnp.int32))
+    values = jnp.zeros(R, jnp.int32).at[order].set(ranks)
+    values = jnp.where(row_alive, values, -1)
+    # unique table at fixed capacity R: scatter sorted rows by rank
+    uniq_words = jnp.zeros((R, W), jnp.uint32).at[ranks].set(sw)
+    uniq_lens = jnp.zeros(R, jnp.int32).at[ranks].set(sl)
+    uniq_valid = jnp.zeros(R, jnp.bool_).at[ranks].set(sv)
+    n_uniq = jnp.max(jnp.where(sa, ranks + 1, 0))
+    uniq_alive = jnp.arange(R) < n_uniq
+    return values, uniq_words, uniq_lens, uniq_valid, uniq_alive
+
+
+def _local_then_merge(data, offsets, validity, row_alive, width: int, axis: str):
+    """Runs INSIDE shard_map: local encode + collective key merge."""
+    words = _pack_words(data, offsets, width)
+    lens = offsets[1:] - offsets[:-1]
+    R = words.shape[0]
+    lv, uw, ul, uv, ua = _sort_unique_ranks(words, lens, validity, row_alive)
+    # all-gather candidate keysets over the mesh axis (rides ICI)
+    gw = jax.lax.all_gather(uw, axis)  # [S, R, W]
+    gl = jax.lax.all_gather(ul, axis)
+    gv = jax.lax.all_gather(uv, axis)
+    ga = jax.lax.all_gather(ua, axis)
+    S = gw.shape[0]
+    flat_w = gw.reshape(S * R, -1)
+    flat_l = gl.reshape(S * R)
+    flat_v = gv.reshape(S * R)
+    flat_a = ga.reshape(S * R)
+    gvals, *_ = _sort_unique_ranks(flat_w, flat_l, flat_v, flat_a)
+    grank = gvals.reshape(S, R)
+    me = jax.lax.axis_index(axis)
+    my_rank = grank[me]  # local key k -> global key id
+    values = jnp.where(lv >= 0, my_rank[jnp.clip(lv, 0, R - 1)], -1)
+    # pmax proves replication to shard_map's varying-manual-axes check
+    n_global = jax.lax.pmax(jnp.max(gvals) + 1, axis)
+    return values, n_global
+
+
+def distributed_categorize(
+    data_sh, offsets_sh, validity_sh, alive_sh, mesh: Mesh, axis: str = "data"
+):
+    """Collective dictionary build over row shards.
+
+    Inputs are [S, ...] stacked shard arrays (shard_column).  Returns
+    (values [S, R] global key ids, n_global_keys replicated scalar).
+    """
+    # key-word width = max row byte length (host sync at setup only)
+    row_lens = offsets_sh[:, 1:] - offsets_sh[:, :-1]
+    width = int(jnp.max(row_lens))
+    width = max(-(-width // 4) * 4, 4)
+
+    from .compat import shard_map
+
+    def body(d, o, v, a):
+        values, n_global = _local_then_merge(
+            d[0], o[0], v[0], a[0], width, axis
+        )
+        return values[None], n_global
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    return jax.jit(fn)(data_sh, offsets_sh, validity_sh, alive_sh)
+
+
+@partial(jax.jit, static_argnums=())
+def _regex_count_local(matches):
+    return jnp.sum(matches.astype(jnp.int32))
+
+
+def distributed_contains(chars_sh, lens_sh, pattern: str, mesh, axis="data"):
+    """Row-sharded regex contains + global match count via psum."""
+    from .compat import shard_map
+    from ..regex.ops import get_program
+
+    dp = get_program(pattern)
+
+    def local(chars, lens):
+        m = dp.nfa_matches(chars[0], lens[0], False)[None]
+        total = jax.lax.psum(jnp.sum(m.astype(jnp.int32)), axis)
+        return m, total
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    return fn(chars_sh, lens_sh)

@@ -245,8 +245,11 @@ class DeviceProgram:
         chars: int32[rows, L] codepoints (0-padded); lengths int32[rows].
         """
         N, L = chars.shape
-        state = jnp.zeros((N, self.I), jnp.bool_)
-        matched = jnp.zeros(N, jnp.bool_)
+        # derive all-False init from the inputs so the carry picks up any
+        # varying manual axes when running inside shard_map
+        never = lengths < 0
+        state = jnp.zeros((N, self.I), jnp.bool_) ^ never[:, None]
+        matched = never
 
         def step(p, carry):
             state, matched = carry

@@ -1,0 +1,61 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh: collective
+dictionary build (the nvcategory key-merge) and row-sharded regex."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from custrings_tpu import column
+from custrings_tpu.ops.unique import dictionary_encode
+from custrings_tpu.parallel import dist
+
+
+def make_mesh(n):
+    devs = jax.devices()[:n]
+    return Mesh(np.array(devs), ("data",))
+
+
+CORPUS = (
+    ["eee", "aaa", "eee", "ddd", "ccc"] * 5
+    + ["zzz", "bbb", None, "", "aaa"] * 3
+    + ["mmm"]
+)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_distributed_categorize_matches_single_chip(n_dev):
+    col = column.from_host_strings(CORPUS)
+    keys, values = dictionary_encode(col)
+    expected = np.asarray(jax.device_get(values))
+
+    mesh = make_mesh(n_dev)
+    d, o, v, a = dist.shard_column(col, n_dev)
+    vals_sh, n_global = dist.distributed_categorize(d, o, v, a, mesh)
+    flat = np.asarray(jax.device_get(vals_sh)).reshape(-1)
+    alive = np.asarray(jax.device_get(a)).reshape(-1)
+    got = flat[alive]
+    assert int(n_global) == keys.size
+    assert got.tolist() == expected.tolist()
+
+
+def test_distributed_contains():
+    strs = ["hello123", "no digits", None, "42", "x"] * 4
+    col = column.from_host_strings(strs)
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    from custrings_tpu.ops import layout
+
+    chars, nch = layout.char_matrix(col)
+    n = col.size
+    per = n // n_dev
+    chars_sh = jnp.asarray(np.asarray(chars).reshape(n_dev, per, -1))
+    lens_sh = jnp.asarray(np.asarray(nch).reshape(n_dev, per))
+    m, total = dist.distributed_contains(chars_sh, lens_sh, r"\d+", mesh)
+    got = np.asarray(jax.device_get(m)).reshape(-1)
+    import re
+
+    exp = [bool(re.search(r"\d+", s)) if s else False for s in strs]
+    assert got.tolist() == exp
+    assert int(total) == sum(exp)
