@@ -342,6 +342,11 @@ class Program:
     start_id: int
     classes: list  # list[CharClass]
     groups_count: int
+    # True when leftmost-LONGEST match selection provably equals the
+    # engine's leftmost-first priority semantics: every OR comes from a
+    # greedy quantifier (loop/take branch has priority and is the longer
+    # path) and there is no '|' alternation or lazy quantifier.
+    longest_safe: bool = False
 
     @property
     def n_insts(self) -> int:
@@ -486,6 +491,9 @@ def compile_pattern(pattern: str, dot_type: int = ANY) -> Program:
     tokens = lexer.tokens()
     if any(t.t in (T_COUNTED, T_COUNTED_LAZY) for t in tokens):
         tokens = _expand_counted(tokens)
+    longest_safe = not any(
+        t.t in (T_OR, T_STAR_LAZY, T_PLUS_LAZY, T_QUEST_LAZY) for t in tokens
+    )
 
     b = _Builder()
     b.atorstack.append((T_START - 1, 0))
@@ -554,4 +562,5 @@ def compile_pattern(pattern: str, dot_type: int = ANY) -> Program:
         start_id=start,
         classes=lexer.classes,
         groups_count=b.cursubid,
+        longest_safe=longest_safe,
     )

@@ -285,6 +285,118 @@ class DeviceProgram:
         state, matched = jax.lax.fori_loop(0, L + 1, step, (state, matched))
         return matched
 
+    # ---------------- executor A2: leftmost-longest spans ----------------
+
+    def _closure_columns(self):
+        """Static per-unique-closure incoming-column lists for the min-plus
+        propagation (host side, cached)."""
+        if not hasattr(self, "_ccols"):
+            cu = np.asarray(jax.device_get(self.closure_unique))
+            self._ccols = [
+                [np.nonzero(cu[u][:, j])[0] for j in range(self.I)]
+                for u in range(cu.shape[0])
+            ]
+            nm = np.zeros((self.I,), np.int64) - 1
+            prog = self.prog
+            self._next_cols = [[] for _ in range(self.I)]
+            for i in range(self.I):
+                if prog.types[i] in (CHAR, ANY, ANYNL, CCLASS, NCCLASS):
+                    self._next_cols[prog.next_ids[i]].append(i)
+            self._end_ids = np.nonzero(prog.types == END)[0]
+        return self._ccols, self._next_cols, self._end_ids
+
+    @partial(jax.jit, static_argnums=(0,))
+    def nfa_spans(self, chars, lengths, start_pos):
+        """Leftmost-longest first-match spans for `longest_safe` programs.
+
+        All begins are explored simultaneously: state = min begin per inst
+        (INF inactive); candidates (begin, end=pos) reduce to (min begin,
+        max end).  O(L) vectorized steps — the fast path replacing the
+        ordered-list executor for unambiguous patterns.
+
+        Returns (matched bool[N], begin int32[N], end int32[N]).
+        """
+        N, L = chars.shape
+        INF = jnp.int32(1 << 28)
+        ccols, next_cols, end_ids = self._closure_columns()
+        U = len(ccols)
+
+        def closure_minplus(beg, uid):
+            outs = []
+            for u in range(U):
+                cols_out = []
+                for j in range(self.I):
+                    cols = ccols[u][j]
+                    if len(cols) == 0:
+                        cols_out.append(jnp.full((N,), INF))
+                    elif len(cols) == 1:
+                        cols_out.append(beg[:, cols[0]])
+                    else:
+                        cols_out.append(
+                            jnp.min(beg[:, np.asarray(cols)], axis=1)
+                        )
+                outs.append(jnp.stack(cols_out, axis=1))
+            if U == 1:
+                return outs[0]
+            res = outs[0]
+            for u in range(1, U):
+                res = jnp.where((uid == u)[:, None], outs[u], res)
+            return res
+
+        def step(p, carry):
+            beg, best_b, best_e = carry
+            cur = jnp.where(p < lengths, chars[:, jnp.minimum(p, L - 1)], 0)
+            prev = jnp.where(
+                (p > 0) & (p - 1 < lengths),
+                chars[:, jnp.maximum(jnp.minimum(p - 1, L - 1), 0)],
+                0,
+            )
+            inject = p >= start_pos  # leftmost: min() prefers earlier begins
+            beg = beg.at[:, self.prog.start_ids].min(
+                jnp.where(inject, p, INF)[:, None]
+            )
+            ctx = self._ctx_bits(prev, cur, jnp.full(N, p == 0))
+            uid = self.ctx_map[ctx]
+            closed = closure_minplus(beg, uid)
+            # END candidates at this position
+            if len(end_ids):
+                b_end = jnp.min(closed[:, np.asarray(end_ids)], axis=1)
+            else:
+                b_end = jnp.full((N,), INF)
+            better = b_end < best_b
+            same = (b_end == best_b) & (b_end < INF)
+            best_e = jnp.where(better | same, p, best_e)
+            best_b = jnp.where(better, b_end, best_b)
+            # consume
+            pred = self._char_pred(cur)  # [N, I]
+            fired = jnp.where(pred, closed, INF)
+            nxt_out = []
+            for j in range(self.I):
+                cols = next_cols[j]
+                if len(cols) == 0:
+                    nxt_out.append(jnp.full((N,), INF))
+                elif len(cols) == 1:
+                    nxt_out.append(fired[:, cols[0]])
+                else:
+                    nxt_out.append(
+                        jnp.min(fired[:, np.asarray(cols)], axis=1)
+                    )
+            beg = jnp.stack(nxt_out, axis=1)
+            return beg, best_b, best_e
+
+        beg0 = jnp.full((N, self.I), INF)
+        bb0 = jnp.full((N,), INF)
+        be0 = jnp.full((N,), -1, jnp.int32)
+        beg, best_b, best_e = jax.lax.fori_loop(
+            0, L + 1, step, (beg0, bb0, be0)
+        )
+        matched = best_b < INF
+        return (
+            matched,
+            jnp.where(matched, best_b, -1).astype(jnp.int32),
+            jnp.where(matched, best_e, -1).astype(jnp.int32),
+        )
+
     # ---------------- executor B: spans/captures ----------------
 
     @partial(jax.jit, static_argnums=(0, 5))

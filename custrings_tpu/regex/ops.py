@@ -56,17 +56,23 @@ def _iter_spans(col: StringColumn, pattern: str, max_iters: int | None = None):
     nch_np = np.asarray(jax.device_get(nch))
     begins = np.zeros(n, np.int64)
     active = np.asarray(jax.device_get(col.validity)).copy()
+    fast = dp.prog.longest_safe and dp.I <= 128
     it = 0
     while active.any():
         if max_iters is not None and it >= max_iters:
             break
-        m, b, e = dp.run_spans(
-            chars,
-            nch,
-            jnp.asarray(begins, jnp.int32),
-            jnp.full(n, -1, jnp.int32),
-            0,
-        )
+        if fast:
+            m, b, e = dp.nfa_spans(
+                chars, nch, jnp.asarray(begins, jnp.int32)
+            )
+        else:
+            m, b, e = dp.run_spans(
+                chars,
+                nch,
+                jnp.asarray(begins, jnp.int32),
+                jnp.full(n, -1, jnp.int32),
+                0,
+            )
         m, b, e = (np.asarray(jax.device_get(x)) for x in (m, b, e))
         hit = active & (m > 0)
         if not hit.any():
