@@ -225,3 +225,43 @@ def _pad_to(data: jax.Array, capacity: int) -> jax.Array:
     if data.shape[0] >= capacity:
         return data[:capacity]
     return jnp.zeros(capacity, jnp.uint8).at[: data.shape[0]].set(data)
+
+
+def jit_materialize(body_fn, static_argnums=()):
+    """Compile a materializing op into exactly two XLA programs + one sync.
+
+    body_fn(col, *args) must be pure-traceable and return
+    (sizes, validity, produce).  The size pass and the write pass each run
+    as ONE compiled program (the reference's two-pass pattern,
+    cpp/src/strings/split.cu:143-220, with XLA fusion inside each pass);
+    sizes are recomputed in the write pass — cheap next to the dispatch
+    latency it saves.
+    """
+    body_static = tuple(static_argnums)
+
+    @partial(jax.jit, static_argnums=body_static)
+    def total_fn(col, *args):
+        sizes, validity, produce = body_fn(col, *args)
+        return jnp.sum(sizes.astype(jnp.int32))
+
+    def make_full(capacity):
+        @partial(jax.jit, static_argnums=body_static)
+        def full_fn(col, *args):
+            sizes, validity, produce = body_fn(col, *args)
+            out_offsets = cumsum0(sizes)
+            data = materialize_bytes(out_offsets, capacity, produce)
+            return data, out_offsets, validity
+
+        return full_fn
+
+    full_cache: dict = {}
+
+    def op(col, *args):
+        total = int(total_fn(col, *args))
+        capacity = bucket_bytes(total)
+        if capacity not in full_cache:
+            full_cache[capacity] = make_full(capacity)
+        data, out_offsets, validity = full_cache[capacity](col, *args)
+        return StringColumn(data, out_offsets, validity)
+
+    return op

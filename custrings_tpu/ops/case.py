@@ -29,6 +29,10 @@ def _mapped(cps, want_flag):
 
 
 def _case_op(col: StringColumn, kind: str) -> StringColumn:
+    return charwise.run_charwise(_case_body, col, static_args=(kind,))
+
+
+def _case_body(col: StringColumn, kind: str):
     cm = layout.char_map(col)
     in_cps = layout.codepoints(col)
     flags, cases = device_tables()
@@ -77,7 +81,7 @@ def _case_op(col: StringColumn, kind: str) -> StringColumn:
         g = jnp.clip(co[rows] + oc, 0, ncap - 1)
         return out[g]
 
-    return charwise.build_charwise(col, cm.nchars(), cp_fn)
+    return cm.nchars(), col.validity, cp_fn
 
 
 def lower(col):

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..column import StringColumn, build_column
+from ..column import StringColumn, build_column, jit_materialize
 from . import layout
 
 
@@ -30,8 +30,20 @@ def cat(
         raise ValueError("nvstrings.cat sizes do not match")
     sep_a, sep_n = _bytes_arr(sep)
     nar_a, nar_n = _bytes_arr(na_rep)
-    have_nar = na_rep is not None
+    return _cat_op(
+        col, others, sep_a, nar_a, sep_n, nar_n, na_rep is not None
+    )
 
+
+def _cat_body(
+    col: StringColumn,
+    others: StringColumn,
+    sep_a,
+    nar_a,
+    sep_n: int,
+    nar_n: int,
+    have_nar: bool,
+):
     llen, rlen = col.lengths(), others.lengths()
     lval, rval = col.validity, others.validity
     out_null = (~lval | ~rval) & (not have_nar)
@@ -64,7 +76,10 @@ def cat(
         )
         return jnp.where(in_left, left_b, jnp.where(in_sep, sep_b, right_b))
 
-    return build_column(sizes, validity, produce)
+    return sizes, validity, produce
+
+
+_cat_op = jit_materialize(_cat_body, static_argnums=(4, 5, 6))
 
 
 def join(col: StringColumn, sep: str = "", na_rep: str | None = None) -> StringColumn:

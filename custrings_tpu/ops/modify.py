@@ -14,6 +14,8 @@ pick sequence is prefix-stable in n).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,20 +65,8 @@ def _greedy_select(match: jax.Array, m: int, bordered: bool) -> jax.Array:
     return match & (s_in == 0)
 
 
-def replace_literal(
-    col: StringColumn, pat, repl, n: int = -1
-) -> StringColumn:
-    pat_b = pat.encode("utf-8") if isinstance(pat, str) else bytes(pat)
-    repl_b = (repl or "").encode("utf-8") if not isinstance(repl, bytes) else repl
-    m, rl = len(pat_b), len(repl_b)
-    if m == 0:
-        return col
-    p = _pat_array(pat_b)
-    r = (
-        jnp.asarray(np.frombuffer(repl_b, dtype=np.uint8))
-        if rl
-        else jnp.zeros(0, jnp.uint8)
-    )
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _replace_plan(col: StringColumn, p, m: int, bordered: bool, n: int):
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
     rows = layout.row_ids_from_offsets(col.offsets, cap)
@@ -86,9 +76,8 @@ def replace_literal(
         & (j + m <= row_end)
         & layout.valid_byte_mask(col)
     )
-    picked = _greedy_select(match, m, _has_border(pat_b))
+    picked = _greedy_select(match, m, bordered)
     if n >= 0:
-        # rank of pick within row
         pk0 = jnp.cumsum(picked.astype(jnp.int32))
         row_base = jnp.concatenate([jnp.zeros(1, jnp.int32), pk0])[
             col.offsets[:-1][rows]
@@ -109,43 +98,64 @@ def replace_literal(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(inside.astype(jnp.int32))]
     )
     row_start = col.offsets[:-1][rows]
-    picks_in_row_before = picks_before0[:cap] - picks_before0[row_start]
-    covered_in_row_before = covered_before0[:cap] - covered_before0[row_start]
-
-    # output sizes
-    lens = col.lengths()
+    picks_in_row = picks_before0[:cap] - picks_before0[row_start]
+    covered_in_row = covered_before0[:cap] - covered_before0[row_start]
     picks_per_row = (
         jnp.zeros(col.size, jnp.int32).at[rows].add(picked.astype(jnp.int32))
     )
+    return picked, inside, picks_in_row, covered_in_row, picks_per_row, row_start
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _replace_write(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
+    picked, inside, picks_in_row, covered_in_row, picks_per_row, row_start = plan
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    rows = layout.row_ids_from_offsets(col.offsets, cap)
+    lens = col.lengths()
     sizes = lens + picks_per_row * (rl - m)
     out_offsets = cumsum0(sizes)
-    total = int(out_offsets[-1])
-    bcap = bucket_bytes(total)
-
-    # scatter copied bytes
-    out_pos_copy = (
+    out_pos = (
         out_offsets[:-1][rows]
         + (j - row_start)
-        - covered_in_row_before
-        + picks_in_row_before * rl
+        - covered_in_row
+        + picks_in_row * rl
     )
     keep = (~inside) & layout.valid_byte_mask(col)
-    data = jnp.zeros(bcap + 1, jnp.uint8)
-    data = data.at[jnp.where(keep, out_pos_copy, bcap)].set(
+    data = jnp.zeros(bcap + max(rl, 1), jnp.uint8)
+    data = data.at[jnp.where(keep, out_pos, bcap)].set(
         jnp.where(keep, col.data, jnp.uint8(0))
     )
-    # scatter replacement bytes at picked match positions
-    base_out = (
-        out_offsets[:-1][rows]
-        + (j - row_start)
-        - covered_in_row_before
-        + picks_in_row_before * rl
-    )
     for t in range(rl):
-        data = data.at[jnp.where(picked, base_out + t, bcap)].set(
+        data = data.at[jnp.where(picked, out_pos + t, bcap + t)].set(
             jnp.where(picked, r[t], jnp.uint8(0))
         )
-    return StringColumn(data[:bcap], out_offsets, col.validity)
+    return data[:bcap], out_offsets
+
+
+def replace_literal(
+    col: StringColumn, pat, repl, n: int = -1
+) -> StringColumn:
+    pat_b = pat.encode("utf-8") if isinstance(pat, str) else bytes(pat)
+    repl_b = (repl or "").encode("utf-8") if not isinstance(repl, bytes) else repl
+    m, rl = len(pat_b), len(repl_b)
+    if m == 0:
+        return col
+    p = _pat_array(pat_b)
+    r = (
+        jnp.asarray(np.frombuffer(repl_b, dtype=np.uint8))
+        if rl
+        else jnp.zeros(0, jnp.uint8)
+    )
+    plan = _replace_plan(col, p, m, _has_border(pat_b), n)
+    picks_per_row = plan[4]
+    nbytes, npicks = jax.device_get(
+        (col.offsets[-1], jnp.sum(picks_per_row))
+    )
+    total = int(nbytes) + int(npicks) * (rl - m)
+    bcap = bucket_bytes(total)
+    data, out_offsets = _replace_write(col, plan, r, m, rl, bcap)
+    return StringColumn(data, out_offsets, col.validity)
 
 
 def fillna_scalar(col: StringColumn, repl: str) -> StringColumn:

@@ -11,12 +11,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..column import StringColumn, build_column
+from ..column import StringColumn, build_column, jit_materialize
 from . import layout
 
 
-def repeat(col: StringColumn, reps: int) -> StringColumn:
-    reps = max(int(reps), 1)
+def _repeat_body(col: StringColumn, reps):
     lens = col.lengths()
     sizes = lens * reps
     starts = col.offsets[:-1]
@@ -25,7 +24,14 @@ def repeat(col: StringColumn, reps: int) -> StringColumn:
         src = starts[rows] + k % jnp.maximum(lens[rows], 1)
         return layout.gather_bytes(col.data, src)
 
-    return build_column(sizes, col.validity, produce)
+    return sizes, col.validity, produce
+
+
+_repeat_op = jit_materialize(_repeat_body)
+
+
+def repeat(col: StringColumn, reps: int) -> StringColumn:
+    return _repeat_op(col, jnp.int32(max(int(reps), 1)))
 
 
 def _fill_info(fillchar: str | None):
@@ -34,39 +40,50 @@ def _fill_info(fillchar: str | None):
     return jnp.asarray(list(b), jnp.uint8), len(b)
 
 
-def _pad_impl(col: StringColumn, width: int, fillchar, left_of) -> StringColumn:
-    """left_of(pad_total) -> chars of padding placed before the string."""
-    fill, fb = _fill_info(fillchar)
+def _pad_body(col: StringColumn, width, fill, fb: int, side: str):
     nch = layout.char_counts(col)
     lens = col.lengths()
-    pad = jnp.maximum(int(width) - nch, 0)
-    lpad = left_of(pad)
-    rpad = pad - lpad
+    pad = jnp.maximum(width - nch, 0)
+    if side == "l":
+        lpad = jnp.zeros_like(pad)
+    elif side == "r":
+        lpad = pad
+    else:
+        lpad = pad // 2
     sizes = lens + pad * fb
     starts = col.offsets[:-1]
 
     def produce(rows, k, valid):
         lp = lpad[rows] * fb
         body = lens[rows]
-        in_left = k < lp
         in_body = (k >= lp) & (k < lp + body)
         fill_b = fill[k % fb]
-        src = layout.gather_bytes(col.data, starts[rows] + jnp.clip(k - lp, 0, None))
+        src = layout.gather_bytes(
+            col.data, starts[rows] + jnp.clip(k - lp, 0, None)
+        )
         return jnp.where(in_body, src, fill_b)
 
-    return build_column(sizes, col.validity, produce)
+    return sizes, col.validity, produce
+
+
+_pad_op = jit_materialize(_pad_body, static_argnums=(3, 4))
+
+
+def _pad_impl(col: StringColumn, width: int, fillchar, side: str) -> StringColumn:
+    fill, fb = _fill_info(fillchar)
+    return _pad_op(col, jnp.int32(width), fill, fb, side)
 
 
 def ljust(col, width, fillchar=None):
-    return _pad_impl(col, width, fillchar, lambda p: jnp.zeros_like(p))
+    return _pad_impl(col, width, fillchar, "l")
 
 
 def rjust(col, width, fillchar=None):
-    return _pad_impl(col, width, fillchar, lambda p: p)
+    return _pad_impl(col, width, fillchar, "r")
 
 
 def center(col, width, fillchar=None):
-    return _pad_impl(col, width, fillchar, lambda p: p // 2)
+    return _pad_impl(col, width, fillchar, "c")
 
 
 def pad(col, width, side="left", fillchar=None):
@@ -77,11 +94,10 @@ def pad(col, width, side="left", fillchar=None):
     return rjust(col, width, fillchar)
 
 
-def zfill(col: StringColumn, width: int) -> StringColumn:
-    """Left-pad with '0' after any leading sign (pad.cu zfill:290)."""
+def _zfill_body(col: StringColumn, width):
     lens = col.lengths()
     nch = layout.char_counts(col)
-    pad_n = jnp.maximum(int(width) - nch, 0)
+    pad_n = jnp.maximum(width - nch, 0)
     sizes = lens + pad_n
     starts = col.offsets[:-1]
     first = layout.gather_bytes(col.data, starts)
@@ -101,7 +117,15 @@ def zfill(col: StringColumn, width: int) -> StringColumn:
             in_sign, sgn_b, jnp.where(in_zero, jnp.uint8(ord("0")), src)
         )
 
-    return build_column(sizes, col.validity, produce)
+    return sizes, col.validity, produce
+
+
+_zfill_op = jit_materialize(_zfill_body)
+
+
+def zfill(col: StringColumn, width: int) -> StringColumn:
+    """Left-pad with '0' after any leading sign (pad.cu zfill:290)."""
+    return _zfill_op(col, jnp.int32(width))
 
 
 def wrap(col: StringColumn, width: int) -> StringColumn:

@@ -19,6 +19,7 @@ ping-pong until the caller materializes per-row objects.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -71,14 +72,62 @@ def _tokens_from_extents(col, tok_off, starts, ends, total_tokens):
     return TokenColumn(tokens, tok_off, col.validity)
 
 
-def _delim_split(
-    col: StringColumn, delim: str, maxsplit: int, from_right: bool
-) -> TokenColumn:
+# ---------------------------------------------------------------------------
+# Three-phase jitted ragged driver: one compiled program per phase, two
+# scalar syncs (token total, byte total) — the XLA shape of the reference's
+# count -> scan -> write pattern (split.cu:143-220).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _ragged_counts(col, body_fn, static_args, *args):
+    counts = body_fn(col, None, *static_args, *args)
+    return jnp.sum(counts.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _ragged_extents(col, body_fn, static_args, tcap, *args):
+    counts, starts, ends = body_fn(col, tcap, *static_args, *args)
+    tok_off = cumsum0(counts)
+    tvalid = jnp.arange(tcap, dtype=jnp.int32) < tok_off[-1]
+    sizes = jnp.where(tvalid, ends - starts, 0)
+    byte_off = cumsum0(sizes)
+    return tok_off, starts, byte_off
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _ragged_write(col, starts, byte_off, bcap):
+    from ..column import materialize_bytes
+
+    def produce(trows, k, valid):
+        return layout.gather_bytes(col.data, starts[trows] + k)
+
+    return materialize_bytes(byte_off, bcap, produce)
+
+
+def run_ragged(body_fn, col, *args, static_args=()) -> TokenColumn:
+    total_tokens = int(_ragged_counts(col, body_fn, static_args, *args))
+    tcap = bucket_bytes(total_tokens)
+    tok_off, starts, byte_off = _ragged_extents(
+        col, body_fn, static_args, tcap, *args
+    )
+    total_bytes = int(byte_off[-1])
+    bcap = bucket_bytes(total_bytes)
+    data = _ragged_write(col, starts, byte_off, bcap)
+    tokens = StringColumn(
+        data,
+        byte_off[: total_tokens + 1],
+        jnp.ones(total_tokens, jnp.bool_),
+    )
+    return TokenColumn(tokens, tok_off, col.validity)
+
+
+def _delim_body(
+    col: StringColumn, tcap, delim: str, maxsplit: int, from_right: bool
+):
     pat_b = delim.encode("utf-8")
     m = len(pat_b)
-    if m == 0:
-        raise ValueError("empty delimiter")
-    p = _pat_array(pat_b)
+    p = jnp.asarray(list(pat_b), jnp.uint8)
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
     rows = row_ids_from_offsets(col.offsets, cap)
@@ -105,8 +154,9 @@ def _delim_split(
     allowed = maxsplit if maxsplit > 0 else _INF
     used = jnp.minimum(delims_per_row, allowed)
     counts = jnp.where(col.validity, used + 1, 0)
+    if tcap is None:
+        return counts
 
-    # 0-based left-to-right rank of each picked delimiter within its row
     pk0 = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
     )
@@ -118,9 +168,6 @@ def _delim_split(
     dused = picked & (used_rank >= 0) & (used_rank < used[rows])
 
     tok_off = cumsum0(counts)
-    total_tokens = int(tok_off[-1])
-    tcap = bucket_bytes(total_tokens)
-
     starts = jnp.zeros(tcap + 1, jnp.int32)
     ends = jnp.zeros(tcap + 1, jnp.int32)
     first_tok = jnp.where(col.validity, tok_off[:-1], tcap)
@@ -130,12 +177,20 @@ def _delim_split(
     ends = ends.at[jnp.where(dused, tbase + used_rank, tcap)].set(j)
     last_tok = jnp.where(col.validity, tok_off[1:] - 1, tcap)
     ends = ends.at[last_tok].set(col.offsets[1:])
-    return _tokens_from_extents(
-        col, tok_off, starts[:tcap], ends[:tcap], total_tokens
+    return counts, starts[:tcap], ends[:tcap]
+
+
+def _delim_split(
+    col: StringColumn, delim: str, maxsplit: int, from_right: bool
+) -> TokenColumn:
+    if len(delim) == 0:
+        raise ValueError("empty delimiter")
+    return run_ragged(
+        _delim_body, col, static_args=(delim, maxsplit, from_right)
     )
 
 
-def _ws_split(col: StringColumn, maxsplit: int, from_right: bool) -> TokenColumn:
+def _ws_body(col: StringColumn, tcap, maxsplit: int, from_right: bool):
     cm = layout.char_map(col)
     cps = layout.codepoints(col)
     ncap = cps.shape[0]
@@ -146,20 +201,18 @@ def _ws_split(col: StringColumn, maxsplit: int, from_right: bool) -> TokenColumn
     row_first = jnp.zeros(ncap, jnp.bool_).at[
         jnp.minimum(cm.char_offsets[:-1], max(ncap - 1, 0))
     ].set(True)
-    prev_non_ws = jnp.roll(non_ws, 1).at[0].set(False) if ncap else non_ws
+    prev_non_ws = jnp.roll(non_ws, 1).at[0].set(False)
     wstart = non_ws & (row_first | ~prev_non_ws)
-    next_non_ws = (
-        jnp.roll(non_ws, -1).at[ncap - 1].set(False) if ncap else non_ws
-    )
-    next_row_first = (
-        jnp.roll(row_first, -1).at[ncap - 1].set(True) if ncap else row_first
-    )
+    next_non_ws = jnp.roll(non_ws, -1).at[ncap - 1].set(False)
+    next_row_first = jnp.roll(row_first, -1).at[ncap - 1].set(True)
     wend = non_ws & (next_row_first | ~next_non_ws)
 
     n = col.size
     words = jnp.zeros(n, jnp.int32).at[crows].add(wstart.astype(jnp.int32))
     T = maxsplit + 1 if maxsplit > 0 else _INF
     counts = jnp.where(col.validity, jnp.minimum(jnp.maximum(words, 1), T), 0)
+    if tcap is None:
+        return counts
     # tail token absorbs the rest of the string (incl. trailing/leading ws)
     # exactly when the limit is reached: ' a b '.split(None,1) -> ['a','b ']
     # (split.cu:225-260 examples)
@@ -181,19 +234,15 @@ def _ws_split(col: StringColumn, maxsplit: int, from_right: bool) -> TokenColumn
     )
 
     tok_off = cumsum0(counts)
-    total_tokens = int(tok_off[-1])
-    tcap = bucket_bytes(total_tokens)
     starts = jnp.zeros(tcap + 1, jnp.int32)
     ends = jnp.zeros(tcap + 1, jnp.int32)
     tbase = tok_off[:-1][crows]
 
     if not from_right:
         ti_s = ws_rank
-        # word k starts token k for k < counts
         sel_s = wstart & (ti_s < counts[crows])
         starts = starts.at[jnp.where(sel_s, tbase + ti_s, tcap)].set(cpos[c])
         ti_e = we_rank
-        # word k ends token k, except the overflowing last token
         sel_e = wend & (ti_e < counts[crows] - 1)
         ends = ends.at[jnp.where(sel_e, tbase + ti_e, tcap)].set(
             cpos[c] + cw[c]
@@ -202,13 +251,12 @@ def _ws_split(col: StringColumn, maxsplit: int, from_right: bool) -> TokenColumn
         ends = ends.at[jnp.where(sel_last, tbase + ti_e, tcap)].set(
             cpos[c] + cw[c]
         )
-        # overflow rows: last token ends at row byte end
         sel_or = col.validity & over
         ends = ends.at[jnp.where(sel_or, tok_off[1:] - 1, tcap)].set(
             col.offsets[1:]
         )
     else:
-        shift = words[crows] - counts[crows]  # words folded into token 0
+        shift = words[crows] - counts[crows]
         ti_s = ws_rank - shift
         sel_s = wstart & (ti_s >= jnp.where(over[crows], 1, 0)) & (
             ti_s < counts[crows]
@@ -219,7 +267,6 @@ def _ws_split(col: StringColumn, maxsplit: int, from_right: bool) -> TokenColumn
         ends = ends.at[jnp.where(sel_e, tbase + ti_e, tcap)].set(
             cpos[c] + cw[c]
         )
-        # overflow rows: token 0 starts at row byte start
         sel_os = col.validity & over
         starts = starts.at[jnp.where(sel_os, tok_off[:-1], tcap)].set(
             col.offsets[:-1]
@@ -232,9 +279,11 @@ def _ws_split(col: StringColumn, maxsplit: int, from_right: bool) -> TokenColumn
     ends = ends.at[jnp.where(sel_empty, tok_off[:-1], tcap)].set(
         col.offsets[:-1]
     )
-    return _tokens_from_extents(
-        col, tok_off, starts[:tcap], ends[:tcap], total_tokens
-    )
+    return counts, starts[:tcap], ends[:tcap]
+
+
+def _ws_split(col: StringColumn, maxsplit: int, from_right: bool) -> TokenColumn:
+    return run_ragged(_ws_body, col, static_args=(maxsplit, from_right))
 
 
 def split_record(col: StringColumn, delimiter=None, n=-1) -> TokenColumn:

@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from functools import partial
+
+import jax
+
 from ..column import StringColumn, build_column
 from . import layout, substr
 
@@ -27,6 +31,12 @@ def _member_mask(col: StringColumn, to_strip: str | None):
 
 
 def _strip_impl(col: StringColumn, to_strip, left: bool, right: bool):
+    starts, stops = _strip_window(col, to_strip, left, right)
+    return substr._slice_bytes(col, starts, stops, raw=True)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _strip_window(col: StringColumn, to_strip, left: bool, right: bool):
     cm = layout.char_map(col)
     nch = cm.nchars()
     member = _member_mask(col, to_strip)
@@ -49,7 +59,7 @@ def _strip_impl(col: StringColumn, to_strip, left: bool, right: bool):
     stops = (last_non + 1) if right else nch
     # all-member rows: empty result
     stops = jnp.maximum(stops, starts)
-    return substr._slice_bytes(col, starts, stops, raw=True)
+    return starts, stops
 
 
 def lstrip(col: StringColumn, to_strip=None) -> StringColumn:

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..column import StringColumn, build_column
+from functools import partial
+
+import jax
+
+from ..column import StringColumn, build_column, jit_materialize
 from . import charwise, layout
 
 
@@ -68,14 +72,21 @@ def slice_chars(
     return charwise.build_charwise(col, counts, cp_fn)
 
 
-def _slice_bytes(col: StringColumn, starts, stops, raw: bool = False) -> StringColumn:
+def _slice_body(col: StringColumn, starts, stops, raw: bool):
     cm, s, e, sb, eb = _char_window(col, starts, stops, raw)
     sizes = eb - sb
 
     def produce(rows, k, valid):
         return layout.gather_bytes(col.data, sb[rows] + k)
 
-    return build_column(sizes, col.validity, produce)
+    return sizes, col.validity, produce
+
+
+_slice_op = jit_materialize(_slice_body, static_argnums=(3,))
+
+
+def _slice_bytes(col: StringColumn, starts, stops, raw: bool = False) -> StringColumn:
+    return _slice_op(col, starts, stops, raw)
 
 
 def slice_from(col: StringColumn, starts=None, stops=None) -> StringColumn:

@@ -26,7 +26,7 @@ from ..column import (
 )
 from ..config import bucket_bytes
 from ..ops import layout
-from ..ops.split import TokenColumn, _tokens_from_extents
+from ..ops.split import TokenColumn, _tokens_from_extents, run_ragged
 
 
 def _is_delim(cps, delimiter: str | None):
@@ -85,13 +85,12 @@ def token_extents(col: StringColumn, delimiter: str | None = None):
     }
 
 
-def tokenize_record(col: StringColumn, delimiter: str | None = None) -> TokenColumn:
-    """All tokens per row as a ragged TokenColumn."""
+def _tokenize_body(col: StringColumn, tcap, delimiter):
     E = token_extents(col, delimiter)
     counts = E["counts"]
+    if tcap is None:
+        return counts
     tok_off = cumsum0(counts)
-    total = int(tok_off[-1])
-    tcap = bucket_bytes(total)
     starts = jnp.zeros(tcap + 1, jnp.int32)
     ends = jnp.zeros(tcap + 1, jnp.int32)
     tbase = tok_off[:-1][E["crows"]]
@@ -101,9 +100,12 @@ def tokenize_record(col: StringColumn, delimiter: str | None = None) -> TokenCol
     ends = ends.at[jnp.where(E["tend"], tbase + E["te_rank"], tcap)].set(
         E["cpos"][E["c"]] + E["cw"][E["c"]]
     )
-    return _tokens_from_extents(
-        col, tok_off, starts[:tcap], ends[:tcap], total
-    )
+    return counts, starts[:tcap], ends[:tcap]
+
+
+def tokenize_record(col: StringColumn, delimiter: str | None = None) -> TokenColumn:
+    """All tokens per row as a ragged TokenColumn."""
+    return run_ragged(_tokenize_body, col, static_args=(delimiter,))
 
 
 def tokenize(col: StringColumn, delimiter: str | None = None) -> StringColumn:
