@@ -76,9 +76,21 @@ def from_host_strings(strs) -> StringColumn:
 
     Mirrors nvstrings.to_device (python/nvstrings.py:4-24).  Unlike the
     reference there is no host-side per-string placement loop
-    (cpp/src/strings/NVStringsImpl.cu:126-195): we encode once into a flat
-    numpy buffer and upload offsets + bytes directly.
+    (cpp/src/strings/NVStringsImpl.cu:126-195): the native fastcolumn C
+    extension flattens the list in one pass (pure-numpy fallback when no
+    toolchain is present) and offsets + bytes upload directly.
     """
+    from .native.build import load as _load_native
+
+    native = _load_native()
+    if native is not None:
+        if not isinstance(strs, list):
+            strs = list(strs)
+        data_b, offs_b, valid_b = native.flatten(strs)
+        data = np.frombuffer(data_b, dtype=np.uint8)
+        offsets = np.frombuffer(offs_b, dtype=np.int32)
+        validity = np.frombuffer(valid_b, dtype=np.uint8).astype(np.bool_)
+        return _device_column(data, offsets, validity)
     enc = [b"" if s is None else s.encode("utf-8") for s in strs]
     lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
     offsets = np.zeros(len(enc) + 1, dtype=np.int32)
@@ -119,6 +131,16 @@ def to_host_strings(col: StringColumn):
     data, offsets, validity = jax.device_get(
         (col.data, col.offsets, col.validity)
     )
+    from .native.build import load as _load_native
+
+    native = _load_native()
+    if native is not None:
+        return native.unflatten(
+            data.tobytes(),
+            np.ascontiguousarray(offsets, np.int32).tobytes(),
+            validity.astype(np.uint8).tobytes(),
+            col.size,
+        )
     buf = data.tobytes()
     out = []
     for i in range(col.size):
