@@ -19,15 +19,16 @@ from ..column import StringColumn
 from . import array, layout
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _encode_sorted(col: StringColumn, width: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def _encode_sorted(col: StringColumn, width: int, full_width: int):
     n = col.size
     ord_ = array._order_impl(col, width, array.SORT_NAME, True, True)
-    words = array._key_words(col, width)  # [n, W]
+    words = array._key_words(col, width)  # [n, W] (possibly truncated)
     sw = words[ord_]  # sorted key words
     slen = col.lengths()[ord_]
     sval = col.validity[ord_]
     neq = jnp.zeros(n, jnp.bool_)
+    ambiguous = jnp.zeros((), jnp.bool_)
     if n > 1:
         row_neq = (
             jnp.any(sw[1:] != sw[:-1], axis=1)
@@ -37,11 +38,16 @@ def _encode_sorted(col: StringColumn, width: int):
         # two nulls are equal regardless of (zero-length) payload
         both_null = (~sval[1:]) & (~sval[:-1])
         neq = neq.at[1:].set(row_neq & ~both_null)
+        if width < full_width:
+            # truncated-key tie whose FULL rows differ -> must escalate
+            fw = array._key_words(col, full_width)[ord_]
+            full_neq = jnp.any(fw[1:] != fw[:-1], axis=1)
+            ambiguous = jnp.any(~neq[1:] & full_neq & ~both_null)
     ranks = jnp.cumsum(neq.astype(jnp.int32))
     values = jnp.zeros(n, jnp.int32).at[ord_].set(ranks)
     # first-occurrence (in sorted order) positions -> key gather indexes
     first = jnp.concatenate([jnp.ones(1, jnp.bool_), neq[1:]]) if n else neq
-    return ord_, ranks, values, first
+    return ord_, ranks, values, first, ambiguous
 
 
 def dictionary_encode(col: StringColumn):
@@ -49,14 +55,26 @@ def dictionary_encode(col: StringColumn):
 
     values[i] = rank of col[i] in the sorted unique keyset, the exact
     contract of nvcategory (python/tests/test_category.py:31-40).
+
+    Perf: the variadic lax.sort degrades with operand count, so keys start
+    as a 64-byte prefix; an exact ambiguity check (truncated tie but full
+    rows differ) escalates the width until the ordering is provably the
+    full lexicographic one.
     """
     n = col.size
     if n == 0:
         from ..column import empty_column
 
         return empty_column(0), jnp.zeros(0, jnp.int32)
-    width = -(-layout.max_row_bytes(col) // 4) * 4
-    ord_, ranks, values, first = _encode_sorted(col, width)
+    full_width = -(-layout.max_row_bytes(col) // 4) * 4
+    width = min(full_width, 64)
+    while True:
+        ord_, ranks, values, first, ambiguous = _encode_sorted(
+            col, width, full_width
+        )
+        if width >= full_width or not bool(ambiguous):
+            break
+        width = min(width * 4, full_width)
     # compact first-occurrence positions on host (ucount is dynamic anyway)
     first_np = jax.device_get(first)
     import numpy as np
