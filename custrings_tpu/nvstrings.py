@@ -440,7 +440,9 @@ class nvstrings:
     # ---------------- convert ----------------
 
     def hash(self, devptr=0):
-        out = _out(_convert.hash_mm3(self._col), devptr)
+        from .ops.pallas_hash import hash_mm3_pallas
+
+        out = _out(hash_mm3_pallas(self._col), devptr)
         return out if isinstance(devptr, np.ndarray) else out.tolist()
 
     def stoi(self, devptr=0):

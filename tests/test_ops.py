@@ -358,3 +358,14 @@ def test_url_decode():
         urllib.parse.unquote(s) if s is not None else None for s in corpus
     ]
     assert got == exp
+
+
+def test_pallas_hash_matches_jnp():
+    from custrings_tpu.ops.convert import hash_mm3
+    from custrings_tpu.ops.pallas_hash import hash_mm3_pallas
+
+    corpus = ["hello", "", None, "a", "abc", "x" * 300, "héllo wörld" * 10]
+    col = dev(corpus)
+    a = np.asarray(hash_mm3(col))
+    b = np.asarray(hash_mm3_pallas(col))
+    assert a.tolist() == b.tolist()
