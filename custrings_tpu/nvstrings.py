@@ -102,6 +102,15 @@ class nvstrings:
     def copy(self):
         return nvstrings(self._col)
 
+    def get_ipc_data(self):
+        """Serialization-based stand-in for the reference's CUDA IPC
+        handles (cpp/include/ipc_transfer.h): returns the Arrow host
+        buffers (bytes, offsets, null bitmask, count) which any process
+        can rebuild from via nvstrings.create_from_ipc."""
+        data, offsets, nulls = _col.to_offsets_np(self._col)
+        return (data.tobytes(), offsets.tobytes(), nulls.tobytes(),
+                self.size())
+
     # ---------------- attrs ----------------
 
     def len(self, devptr=0):
@@ -581,6 +590,18 @@ def int2timestamp(values, units="s", format=None, nulls=None, bdevmem=False):
 
     return nvstrings(
         datetime_k.int2timestamp(np.asarray(values, np.int64), units, format, nulls)
+    )
+
+
+def create_from_ipc(ipc_data):
+    """Rebuild an nvstrings from get_ipc_data() output
+    (python/nvstrings.py:348-362 equivalent; see get_ipc_data)."""
+    data_b, offs_b, nulls_b, count = ipc_data
+    return from_offsets(
+        np.frombuffer(data_b, np.uint8),
+        np.frombuffer(offs_b, np.int32),
+        count,
+        np.frombuffer(nulls_b, np.uint8),
     )
 
 

@@ -168,3 +168,21 @@ def test_from_csv(tmp_path):
     p.write_text("a,b\n1,x\n2,y\n")
     s = nvstrings.from_csv(str(p), 1)
     assert s.to_host() == ["b", "x", "y"]
+
+
+def test_ipc_roundtrip():
+    s = nvstrings.to_device(["a", None, "ccc"])
+    blob = s.get_ipc_data()
+    s2 = nvstrings.create_from_ipc(blob)
+    assert s2.to_host() == ["a", None, "ccc"]
+
+
+def test_tracing():
+    from custrings_tpu.utils import tracing
+
+    tracing.reset()
+    with tracing.enabled():
+        with tracing.op("upper", nbytes=100):
+            nvstrings.to_device(["x"]).upper()
+    rep = tracing.report()
+    assert "upper" in rep
