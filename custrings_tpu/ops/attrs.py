@@ -8,6 +8,8 @@ table and reduce per row with segment operations.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -26,12 +28,14 @@ from ..unicode.tables import (
 from . import layout
 
 
+@jax.jit
 def len_chars(col: StringColumn) -> jax.Array:
     """Character count per row; -1 for nulls (python/nvstrings.py:538)."""
     n = layout.char_counts(col)
     return jnp.where(col.validity, n, -1)
 
 
+@jax.jit
 def byte_count(col: StringColumn) -> jax.Array:
     """Byte count per row; -1 for nulls (python/nvstrings.py:567)."""
     return jnp.where(col.validity, col.lengths(), -1)
@@ -44,6 +48,7 @@ def _char_flags(col: StringColumn) -> jax.Array:
     return flags[jnp.clip(cp, 0, flags.shape[0] - 1)]
 
 
+@partial(jax.jit, static_argnums=(1,))
 def _all_chars_match(col: StringColumn, flag_mask: int) -> jax.Array:
     """bool[rows]: non-empty and every char has one of flag_mask set.
 
@@ -95,6 +100,7 @@ def isupper(col: StringColumn) -> jax.Array:
     return _case_predicate(col, want_upper=True)
 
 
+@partial(jax.jit, static_argnums=(1,))
 def _case_predicate(col: StringColumn, want_upper: bool) -> jax.Array:
     cm = layout.char_map(col)
     fl = _char_flags(col).astype(jnp.int32)
@@ -109,6 +115,7 @@ def _case_predicate(col: StringColumn, want_upper: bool) -> jax.Array:
     return (nch > 0) & (bad_per_row == 0) & col.validity
 
 
+@jax.jit
 def is_empty(col: StringColumn) -> jax.Array:
     """True for null or zero-length rows (attrs.cu is_empty:412: null->true)."""
     return (~col.validity) | (col.lengths() == 0)

@@ -86,8 +86,12 @@ def join(col: StringColumn, sep: str = "", na_rep: str | None = None) -> StringC
     """Reduce the whole column to a single-row column (combine.cu join:291)."""
     sep_a, sep_n = _bytes_arr(sep)
     nar_a, nar_n = _bytes_arr(na_rep)
-    have_nar = na_rep is not None
+    return _join_op(col, sep_a, nar_a, sep_n, nar_n, na_rep is not None)
 
+
+def _join_body(
+    col: StringColumn, sep_a, nar_a, sep_n: int, nar_n: int, have_nar: bool
+):
     n = col.size
     lens = col.lengths()
     body = jnp.where(col.validity, lens, nar_n if have_nar else 0)
@@ -120,4 +124,7 @@ def join(col: StringColumn, sep: str = "", na_rep: str | None = None) -> StringC
         sep_b = sep_a[kd] if sep_n else jnp.uint8(0)
         return jnp.where(in_body, str_b, sep_b)
 
-    return build_column(sizes, validity, produce)
+    return sizes, validity, produce
+
+
+_join_op = jit_materialize(_join_body, static_argnums=(3, 4, 5))

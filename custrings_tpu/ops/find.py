@@ -149,13 +149,13 @@ def endswith(col: StringColumn, pat) -> jax.Array:
     return _prefix_suffix(col, _pat_array(pat), True)
 
 
-def compare(col: StringColumn, pat) -> jax.Array:
+@jax.jit
+def _compare_impl(col: StringColumn, p) -> jax.Array:
     """Byte-wise compare vs scalar string; 0 equal, <0 less, >0 greater.
 
     Null rows -> -1 (find.cu:59: null vs non-empty str).  Mirrors
     custring_view::compare semantics (byte difference or length difference).
     """
-    p = _pat_array(pat)
     m = p.shape[0]
     lens = col.lengths()
     starts = col.offsets[:-1]
@@ -165,13 +165,18 @@ def compare(col: StringColumn, pat) -> jax.Array:
     for t in range(m):
         b = col.data[jnp.clip(starts + t, 0, cap)].astype(jnp.int32)
         in_row = t < lens
-        diff = jnp.where(in_row, b - int(p[t]), -int(p[t]))
+        pt = p[t].astype(jnp.int32)
+        diff = jnp.where(in_row, b - pt, -pt)
         hit = (~decided) & (diff != 0)
         result = jnp.where(hit, diff, result)
         decided = decided | hit
     # pattern exhausted: longer row wins
     result = jnp.where(~decided & (lens > m), 1, result)
     return jnp.where(col.validity, result, -1)
+
+
+def compare(col: StringColumn, pat) -> jax.Array:
+    return _compare_impl(col, _pat_array(pat))
 
 
 def match_strings(col: StringColumn, other: StringColumn) -> jax.Array:
@@ -203,9 +208,14 @@ def count_literal(col: StringColumn, pat) -> jax.Array:
     Used by nvtext strings_counts (cpp/src/text/NVText.cu:77-123).
     """
     p = _pat_array(pat)
-    m = p.shape[0]
-    if m == 0:
+    if p.shape[0] == 0:
         return jnp.zeros(col.size, jnp.int32)
+    return _count_literal_impl(col, p)
+
+
+@jax.jit
+def _count_literal_impl(col: StringColumn, p) -> jax.Array:
+    m = p.shape[0]
     j = jnp.arange(col.capacity, dtype=jnp.int32)
     rows = layout.row_ids_from_offsets(col.offsets, col.capacity)
     ok = (

@@ -9,6 +9,9 @@ remain in the row, like the reference.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from ..column import StringColumn, cumsum0
@@ -32,7 +35,7 @@ def _hex_char(v):
     return jnp.where(v < 10, ord("0") + v, ord("A") + v - 10).astype(jnp.uint8)
 
 
-def url_encode(col: StringColumn) -> StringColumn:
+def _encode_plan(col: StringColumn):
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
     rows = layout.row_ids_from_offsets(col.offsets, cap)
@@ -45,8 +48,15 @@ def url_encode(col: StringColumn) -> StringColumn:
     # output offsets at byte granularity
     ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
     out_offsets = ob0[col.offsets]
-    total = int(out_offsets[-1])
-    bcap = bucket_bytes(total)
+    return real, keep, b, w, ob0, out_offsets
+
+
+_encode_plan_j = jax.jit(_encode_plan)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_write(col: StringColumn, bcap: int):
+    real, keep, b, w, ob0, out_offsets = _encode_plan(col)
     data = jnp.zeros(bcap + 3, jnp.uint8)
     base = ob0[:-1]
     hi = _hex_char(b >> 4)
@@ -60,7 +70,14 @@ def url_encode(col: StringColumn) -> StringColumn:
         sel = real & (t < w)
         idx = jnp.where(sel, base + t, bcap + t)
         data = data.at[idx].set(jnp.where(sel, vals[t], jnp.uint8(0)))
-    return StringColumn(data[:bcap], out_offsets, col.validity)
+    return data[:bcap], out_offsets
+
+
+def url_encode(col: StringColumn) -> StringColumn:
+    out_offsets = _encode_plan_j(col)[-1]
+    bcap = bucket_bytes(int(out_offsets[-1]))
+    data, out_offsets = _encode_write(col, bcap)
+    return StringColumn(data, out_offsets, col.validity)
 
 
 def _hex_val(c):
@@ -77,7 +94,7 @@ def _hex_val(c):
     )
 
 
-def url_decode(col: StringColumn) -> StringColumn:
+def _decode_plan(col: StringColumn):
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
     rows = layout.row_ids_from_offsets(col.offsets, cap)
@@ -120,9 +137,23 @@ def url_decode(col: StringColumn) -> StringColumn:
     w = emit.astype(jnp.int32)
     ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
     out_offsets = ob0[col.offsets]
-    total = int(out_offsets[-1])
-    bcap = bucket_bytes(total)
+    return emit, out_b, ob0, out_offsets
+
+
+_decode_plan_j = jax.jit(_decode_plan)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _decode_write(col: StringColumn, bcap: int):
+    emit, out_b, ob0, out_offsets = _decode_plan(col)
     data = jnp.zeros(bcap + 1, jnp.uint8)
     idx = jnp.where(emit, ob0[:-1], bcap)
     data = data.at[idx].set(jnp.where(emit, out_b, jnp.uint8(0)))
-    return StringColumn(data[:bcap], out_offsets, col.validity)
+    return data[:bcap], out_offsets
+
+
+def url_decode(col: StringColumn) -> StringColumn:
+    out_offsets = _decode_plan_j(col)[-1]
+    bcap = bucket_bytes(int(out_offsets[-1]))
+    data, out_offsets = _decode_write(col, bcap)
+    return StringColumn(data, out_offsets, col.validity)
