@@ -145,12 +145,13 @@ def wrap(col: StringColumn, width: int) -> StringColumn:
     g = jnp.clip(co[:, None] + j, 0, ncap - 1)
     cmat = jnp.where(j < nch[:, None], cps[g], -1)
     is_ws = (cmat >= 0) & (cmat <= ord(" "))
+    in_row = j < nch[:, None]  # pad.cu wrap loops pos < nchars only
 
     def step(state, x):
         spos, last_space = state
-        pos, ws = x
+        pos, ws, alive = x
         last_space = jnp.where(ws, pos, last_space)
-        brk = ((pos - spos) >= width) & (last_space >= 0)
+        brk = ((pos - spos) >= width) & (last_space >= 0) & alive
         newline_at = jnp.where(brk, last_space, -1)
         spos = jnp.where(brk, last_space, spos)
         last_space = jnp.where(brk, -1, last_space)
@@ -159,7 +160,7 @@ def wrap(col: StringColumn, width: int) -> StringColumn:
     init = (jnp.zeros(n, jnp.int32), jnp.full(n, -1, jnp.int32))
     pos_seq = jnp.arange(max_chars, dtype=jnp.int32)
     _, newline_marks = jax.lax.scan(
-        step, init, (pos_seq, is_ws.T)
+        step, init, (pos_seq, is_ws.T, in_row.T)
     )  # [max_chars, n]
     valid_marks = newline_marks >= 0
     rowsb = jnp.broadcast_to(

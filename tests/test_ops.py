@@ -369,3 +369,51 @@ def test_pallas_hash_matches_jnp():
     a = np.asarray(hash_mm3(col))
     b = np.asarray(hash_mm3_pallas(col))
     assert a.tolist() == b.tolist()
+
+
+def test_wrap_vs_pandas():
+    import pandas as pd
+
+    s = ["quick brown fox jumped over lazy brown dog", None,
+         "hello there, accéntéd world", ""]
+    col = dev(s)
+    for width in (10, 20, 50):
+        got = host(pad.wrap(col, width))
+        exp = [
+            None if x is None else e
+            for x, e in zip(s, pd.Series(s).str.wrap(width))
+        ]
+        assert got == exp, (width, got, exp)
+
+
+def test_translate_ordinal_tables():
+    import string
+
+    corpus = ["hello", "there", "world", "accéntéd", None, "",
+              "Equations: 3+3=6; 3/4 < 1 and > 0"]
+    col = dev(corpus)
+    for table in (
+        {},
+        str.maketrans("e", "a"),
+        str.maketrans("elh", "ELH"),
+        str.maketrans("", "", string.punctuation),
+        str.maketrans(string.punctuation, " " * len(string.punctuation)),
+    ):
+        got = host(modify.translate(col, table))
+        exp = [x.translate(table) if x is not None else None for x in corpus]
+        assert got == exp
+
+
+def test_url_reference_corpus():
+    import urllib.parse
+
+    urls1 = ["http://www.hellow.com", "/home/nvidia/nfs", "123.45 ~ABCDEF"]
+    got = host(urlencode.url_encode(dev(urls1)))
+    assert got == [urllib.parse.quote(u, safe="~") for u in urls1]
+    urls2 = [
+        "http://www.hellow.com?k1=acc%C3%A9nted&k2=a%2F/b.c",
+        "%2Fhome%2fnfs",
+        "987%20ZYX",
+    ]
+    got = host(urlencode.url_decode(dev(urls2)))
+    assert got == [urllib.parse.unquote(u) for u in urls2]
