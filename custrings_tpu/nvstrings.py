@@ -261,7 +261,10 @@ class nvstrings:
         return [nvstrings(c) for c in _rx.extract(self._col, pat)]
 
     def extract_record(self, pat):
+        """Per-row nvstrings of group matches (extract_record.cu:96)."""
         cols = _rx.extract(self._col, pat)
+        if not cols:
+            return []
         return _transpose_records(self, cols)
 
     def replace(self, pat, repl, n=-1, regex=True):
@@ -515,15 +518,17 @@ def _records(tc):
 
 
 def _transpose_records(src, cols):
-    """3-column partition result -> per-row nvstrings triples."""
+    """Column-major results -> per-row nvstrings (partition/extract_record)."""
     out = []
     n = src.size()
+    k = len(cols)
+    combined = _array.append([c for c in cols])
     for i in range(n):
         out.append(
             nvstrings(
                 _array.gather(
-                    _array.append([c for c in cols]),
-                    np.asarray([i, n + i, 2 * n + i], np.int64),
+                    combined,
+                    np.asarray([j * n + i for j in range(k)], np.int64),
                 )
             )
         )

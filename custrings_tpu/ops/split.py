@@ -349,57 +349,65 @@ def rpartition(col: StringColumn, delimiter: str) -> list[StringColumn]:
     return _partition_impl(col, delimiter, True)
 
 
-def _partition_impl(col, delimiter, from_right):
-    from .find import find as find_op, rfind as rfind_op
+def _partition_body(col: StringColumn, delim: str, from_right: bool, part: int):
+    """part: 0=before, 1=delimiter, 2=after."""
+    from .find import _find_impl, _pat_array
 
-    d = delimiter.encode("utf-8")
+    d = delim.encode("utf-8")
     m = len(d)
-    pos = rfind_op(col, delimiter) if from_right else find_op(col, delimiter)
-    # pos is a CHAR position; convert to byte extents
+    n = col.size
+    starts0 = jnp.zeros(n, jnp.int32)
+    ends0 = jnp.full(n, -1, jnp.int32)
+    pos = _find_impl(col, _pat_array(d), (starts0, ends0), from_right, True)
     cm = layout.char_map(col)
     nch = cm.nchars()
     found = pos >= 0
     co = cm.char_offsets[:-1]
     total_chars = cm.cs0[-1]
 
-    def byte_of(charpos):
-        g = jnp.minimum(co + jnp.clip(charpos, 0, nch), total_chars)
-        b = jnp.where(
-            g >= total_chars,
-            col.offsets[-1],
-            cm.char_pos[jnp.minimum(g, max(col.capacity - 1, 0))],
-        )
-        return jnp.clip(b, col.offsets[:-1], col.offsets[1:])
-
-    dstart = byte_of(jnp.where(found, pos, 0))
-    # delimiter spans m bytes (delim is ASCII-or-not: byte length fixed)
+    g = jnp.minimum(co + jnp.clip(jnp.where(found, pos, 0), 0, nch), total_chars)
+    dstart = jnp.where(
+        g >= total_chars,
+        col.offsets[-1],
+        cm.char_pos[jnp.minimum(g, max(col.capacity - 1, 0))],
+    )
+    dstart = jnp.clip(dstart, col.offsets[:-1], col.offsets[1:])
     dend = jnp.where(found, dstart + m, dstart)
 
-    lens = col.lengths()
     if from_right:
         pre_s = col.offsets[:-1]
         pre_e = jnp.where(found, dstart, col.offsets[:-1])
         post_s = jnp.where(found, dend, col.offsets[:-1])
-        post_e = jnp.where(found, col.offsets[1:], col.offsets[1:])
+        post_e = col.offsets[1:]
     else:
         pre_s = col.offsets[:-1]
         pre_e = jnp.where(found, dstart, col.offsets[1:])
         post_s = jnp.where(found, dend, col.offsets[1:])
         post_e = col.offsets[1:]
 
-    def make(start, end):
-        sizes = jnp.where(col.validity, end - start, 0)
+    darr = jnp.asarray(list(d), jnp.uint8) if m else jnp.zeros(1, jnp.uint8)
+    if part == 0:
+        start, sizes = pre_s, jnp.where(col.validity, pre_e - pre_s, 0)
+    elif part == 2:
+        start, sizes = post_s, jnp.where(col.validity, post_e - post_s, 0)
+    else:
+        start = col.offsets[:-1]
+        sizes = jnp.where(col.validity & found, m, 0)
 
-        def produce(rows, k, valid):
-            return layout.gather_bytes(col.data, start[rows] + k)
+    def produce(rows, k, valid):
+        if part == 1:
+            return darr[jnp.clip(k, 0, max(m - 1, 0))]
+        return layout.gather_bytes(col.data, start[rows] + k)
 
-        return build_column(sizes, col.validity, produce)
+    return sizes, col.validity, produce
 
-    mid_sizes = jnp.where(col.validity & found, m, 0)
-    darr = _pat_array(d)
 
-    def mid_produce(rows, k, valid):
-        return darr[jnp.clip(k, 0, max(m - 1, 0))] if m else jnp.uint8(0)
+from ..column import jit_materialize
 
-    mid = build_column(mid_sizes, col.validity, mid_produce)
-    return [make(pre_s, pre_e), mid, make(post_s, post_e)]
+_partition_op = jit_materialize(_partition_body, static_argnums=(1, 2, 3))
+
+
+def _partition_impl(col, delimiter, from_right):
+    return [
+        _partition_op(col, delimiter, from_right, part) for part in range(3)
+    ]

@@ -167,7 +167,8 @@ def test_from_csv(tmp_path):
     p = tmp_path / "t.csv"
     p.write_text("a,b\n1,x\n2,y\n")
     s = nvstrings.from_csv(str(p), 1)
-    assert s.to_host() == ["b", "x", "y"]
+    # reference skips the header line (util.cu:68-80)
+    assert s.to_host() == ["x", "y"]
 
 
 def test_ipc_roundtrip():
@@ -186,3 +187,25 @@ def test_tracing():
             nvstrings.to_device(["x"]).upper()
     rep = tracing.report()
     assert "upper" in rep
+
+
+def test_from_csv_tweets_reference():
+    # parity with python/tests/test_memory.py::test_from_csv
+    tweets = nvstrings.from_csv("/root/reference/data/tweets.csv", 7)
+    got = tweets[:5].to_host()
+    assert got[0] == "@Bill_Porter nice to know that your site is back :-)"
+    assert got[3].endswith('""Not Found"" page even in homepage')
+
+
+def test_from_strings_concat():
+    s1 = nvstrings.to_device(["dog and cat", None, "accénted", ""])
+    got = nvstrings.from_strings(s1, s1)
+    assert got.to_host() == ["dog and cat", None, "accénted", ""] * 2
+
+
+def test_add_strings_api():
+    s1 = nvstrings.to_device(["dog and cat", None, "accénted", ""])
+    s2 = nvstrings.to_device(["aaa", None, "", "bbb"])
+    got = s1.add_strings(s2)
+    assert got.to_host() == ["dog and cat", None, "accénted", "", "aaa",
+                             None, "", "bbb"]

@@ -219,3 +219,15 @@ def test_octal_and_hex_escape():
     assert list(np.asarray(rx.contains_re(col, "\\x41"))) == [
         False, True, False,
     ]
+
+
+def test_extract_record_api():
+    from custrings_tpu import nvstrings as nvs
+
+    pattern = r"Flight:([A-Z]+)(\d+)"
+    s = ["ALA-PEK Flight:HU7934", "", None, "Flight:ZZ"]
+    got = nvs.to_device(s).extract_record(pattern)
+    assert got[0].to_host() == ["HU", "7934"]
+    assert got[1].to_host() == [None, None]
+    assert got[2].to_host() == [None, None]
+    assert got[3].to_host() == [None, None]
