@@ -250,16 +250,28 @@ def replace_re(
     return _splice(col, spans, repl)
 
 
-def _splice(col: StringColumn, spans, repl: str | bytes) -> StringColumn:
-    """Rebuild rows replacing char-span matches with repl bytes."""
-    repl_b = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
-    rl = len(repl_b)
+def _splice(col: StringColumn, spans, repl) -> StringColumn:
+    """Rebuild rows replacing char-span matches with repl bytes.
+
+    `repl` is a single str, or a list of str indexed by the span's
+    replacement id (spans then carry (hit, b, e, rid))."""
+    if isinstance(repl, (list, tuple)):
+        repl_tab = [r.encode("utf-8") if isinstance(r, str) else bytes(r) for r in repl]
+    else:
+        repl_tab = [
+            repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
+        ]
     n = col.size
     counts = np.zeros(n, np.int32)
-    per_row: list[list[tuple[int, int]]] = [[] for _ in range(n)]
-    for hit, b, e in spans:
+    per_row: list[list[tuple[int, int, int]]] = [[] for _ in range(n)]
+    for span in spans:
+        if len(span) == 4:
+            hit, b, e, rid = span
+        else:
+            hit, b, e = span
+            rid = np.zeros(len(b), np.int32)
         for r in np.nonzero(hit)[0]:
-            per_row[r].append((int(b[r]), int(e[r])))
+            per_row[r].append((int(b[r]), int(e[r]), int(rid[r])))
             counts[r] += 1
     # piece model: for each row, alternating keep/replace segments
     offsets = np.asarray(jax.device_get(col.offsets))
@@ -275,25 +287,32 @@ def _splice(col: StringColumn, spans, repl: str | bytes) -> StringColumn:
             return offsets[-1]
         return int(np.clip(char_pos[g], offsets[r], offsets[r + 1]))
 
-    piece_src = []  # (start_byte, end_byte, is_repl)
+    # flatten replacement table into one buffer
+    rt_off = np.zeros(len(repl_tab) + 1, np.int64)
+    np.cumsum([len(r) for r in repl_tab], out=rt_off[1:])
+    rt_buf = b"".join(repl_tab)
+
+    piece_src = []  # (start_byte, end_byte, repl_id or -1)
     row_piece_counts = np.zeros(n, np.int32)
     for r in range(n):
         if not valid[r]:
             continue
         cur = offsets[r]
-        for (bb, ee) in sorted(per_row[r]):
+        for (bb, ee, rid) in sorted(per_row[r]):
             sb, eb = byte_of(r, bb), byte_of(r, ee)
-            piece_src.append((cur, sb, False))
-            piece_src.append((0, rl, True))
+            piece_src.append((cur, sb, -1))
+            piece_src.append(
+                (int(rt_off[rid]), int(rt_off[rid + 1]), rid)
+            )
             cur = max(cur, eb)
             row_piece_counts[r] += 2
-        piece_src.append((cur, offsets[r + 1], False))
+        piece_src.append((cur, offsets[r + 1], -1))
         row_piece_counts[r] += 1
     if not piece_src:
         return col
     ps = np.asarray([p[0] for p in piece_src], np.int64)
     pe = np.asarray([p[1] for p in piece_src], np.int64)
-    pr = np.asarray([p[2] for p in piece_src], np.bool_)
+    pr = np.asarray([p[2] >= 0 for p in piece_src], np.bool_)
     plens = np.maximum(pe - ps, 0)
     pb0 = np.zeros(len(ps) + 1, np.int64)
     np.cumsum(plens, out=pb0[1:])
@@ -315,11 +334,13 @@ def _splice(col: StringColumn, spans, repl: str | bytes) -> StringColumn:
     pr_j = jnp.asarray(pr)
     src = layout.gather_bytes(col.data, ps_j[pid] + within)
     repl_a = (
-        jnp.asarray(np.frombuffer(repl_b, np.uint8))
-        if rl
+        jnp.asarray(np.frombuffer(rt_buf, np.uint8))
+        if rt_buf
         else jnp.zeros(1, jnp.uint8)
     )
-    rep = repl_a[jnp.clip(within, 0, max(rl - 1, 0))]
+    rep = repl_a[
+        jnp.clip(ps_j[pid] + within, 0, max(len(rt_buf) - 1, 0))
+    ]
     data = jnp.where(
         j < total, jnp.where(pr_j[pid], rep, src), jnp.uint8(0)
     )
@@ -329,21 +350,51 @@ def _splice(col: StringColumn, spans, repl: str | bytes) -> StringColumn:
 def replace_multi_re(
     col: StringColumn, patterns: list[str], repls
 ) -> StringColumn:
-    """Apply N regexes in one pass (replace_multi.cu:110): at each
-    position the FIRST pattern that matches wins."""
-    cur = col
-    # sequential application approximates the reference's single-pass
-    # first-pattern-wins ordering for non-overlapping pattern families;
-    # exact single-pass merge is a TODO noted in tests.
-    from ..column import to_host_strings
-
+    """Apply N regexes in one pass (replace_multi.cu:110): at each step the
+    earliest match wins; position ties resolve to the lowest pattern index."""
     if isinstance(repls, (list, tuple)):
-        rl = repls
+        rl = list(repls)
     else:
         rl = [repls] * len(patterns)
-    for p, r in zip(patterns, rl):
-        cur = replace_re(cur, p, r)
-    return cur
+    n = col.size
+    dps = [get_program(p) for p in patterns]
+    chars, nch = _mats(col)
+    nch_np = np.asarray(jax.device_get(nch))
+    begins = np.zeros(n, np.int64)
+    active = np.asarray(jax.device_get(col.validity)).copy()
+    spans = []
+    while active.any():
+        best_b = np.full(n, 1 << 30, np.int64)
+        best_e = np.zeros(n, np.int64)
+        best_id = np.full(n, -1, np.int32)
+        for k, dp in enumerate(dps):
+            fast = dp.prog.longest_safe and dp.I <= 128
+            if fast:
+                m, b, e = dp.nfa_spans(
+                    chars, nch, jnp.asarray(begins, jnp.int32)
+                )
+            else:
+                m, b, e = dp.run_spans(
+                    chars,
+                    nch,
+                    jnp.asarray(begins, jnp.int32),
+                    jnp.full(n, -1, jnp.int32),
+                    0,
+                )
+            m, b, e = (np.asarray(jax.device_get(x)) for x in (m, b, e))
+            better = active & (m > 0) & (b < best_b)
+            best_b = np.where(better, b, best_b)
+            best_e = np.where(better, e, best_e)
+            best_id = np.where(better, k, best_id)
+        hit = active & (best_id >= 0)
+        if not hit.any():
+            break
+        spans.append((hit, best_b, best_e, np.maximum(best_id, 0)))
+        begins = np.where(
+            hit, np.where(best_e > best_b, best_e, begins + 1), begins
+        )
+        active = hit & (begins <= nch_np)
+    return _splice(col, spans, rl)
 
 
 def replace_with_backrefs(

@@ -231,3 +231,18 @@ def test_extract_record_api():
     assert got[1].to_host() == [None, None]
     assert got[2].to_host() == [None, None]
     assert got[3].to_host() == [None, None]
+
+
+def test_replace_multi_single_pass():
+    # single-pass: replacements are not re-scanned by later patterns, and
+    # at a position tie the lower-index pattern wins
+    col = dev(["a1 b2 c3"])
+    got = host(rx.replace_multi_re(col, [r"a\d", r"b\d"], ["b9", "X"]))
+    # "a1" -> "b9" must NOT then match "b\d"
+    assert got == ["b9 X c3"]
+
+
+def test_replace_multi_tie():
+    col = dev(["abc"])
+    got = host(rx.replace_multi_re(col, [r"ab", r"abc"], ["1", "2"]))
+    assert got == ["1c"]  # earliest position, first pattern listed wins
