@@ -144,7 +144,7 @@ class nvstrings:
         return self
 
     def isalnum(self, devptr=0):
-        return _out(_attrs.isalnum(self._col), devptr).tolist() if not isinstance(devptr, np.ndarray) else _out(_attrs.isalnum(self._col), devptr)
+        return self._pred(_attrs.isalnum, devptr)
 
     def isalpha(self, devptr=0):
         return self._pred(_attrs.isalpha, devptr)
@@ -172,7 +172,19 @@ class nvstrings:
 
     def _pred(self, fn, devptr=0):
         out = _out(fn(self._col), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        if isinstance(devptr, np.ndarray):
+            return out
+        vals = np.asarray(jax.device_get(self._col.validity))
+        # the reference binding maps null rows to None in host lists
+        # (python/tests/test_convert.py::test_is_empty)
+        return [bool(b) if v else None for b, v in zip(out, vals)]
+
+    def _num(self, arr, devptr=0, cast=int):
+        out = _out(arr, devptr)
+        if isinstance(devptr, np.ndarray):
+            return out
+        vals = np.asarray(jax.device_get(self._col.validity))
+        return [cast(x) if v else None for x, v in zip(out, vals)]
 
     # ---------------- compare/find ----------------
 
@@ -455,31 +467,28 @@ class nvstrings:
         from .ops.pallas_hash import hash_mm3_pallas
 
         out = _out(hash_mm3_pallas(self._col), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        if isinstance(devptr, np.ndarray):
+            return out
+        vals = np.asarray(jax.device_get(self._col.validity))
+        return [int(h) if v else None for h, v in zip(out, vals)]
 
     def stoi(self, devptr=0):
-        out = _out(_convert.stoi(self._col), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._num(_convert.stoi(self._col), devptr, int)
 
     def stol(self, devptr=0):
-        out = _out(_convert.stol(self._col), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._num(_convert.stol(self._col), devptr, int)
 
     def stof(self, devptr=0):
-        out = _out(_convert.stof(self._col), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._num(_convert.stof(self._col), devptr, float)
 
     def stod(self, devptr=0):
-        out = _out(_convert.stod(self._col), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._num(_convert.stod(self._col), devptr, float)
 
     def htoi(self, devptr=0):
-        out = _out(_convert.htoi(self._col), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._num(_convert.htoi(self._col), devptr, int)
 
     def ip2int(self, devptr=0):
-        out = _out(_convert.ip2int(self._col), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._num(_convert.ip2int(self._col), devptr, int)
 
     def to_booleans(self, true="True", devptr=0):
         out = _out(_convert.to_booleans(self._col, true), devptr)
@@ -581,7 +590,8 @@ def dtos(values, count=0, nulls=None, bdevmem=False):
 
 
 def int2ip(values, count=0, nulls=None, bdevmem=False):
-    return nvstrings(_convert.int2ip(np.asarray(values, np.uint32), nulls))
+    vals = [0 if v is None else int(v) for v in values]
+    return nvstrings(_convert.int2ip(np.asarray(vals, np.uint32), nulls))
 
 
 def from_booleans(values, true="True", false="False", nulls=None, bdevmem=False):

@@ -418,14 +418,14 @@ def ftos(values: np.ndarray, nulls=None) -> StringColumn:
     return from_host_strings(out)
 
 
-def int2ip(values: np.ndarray, nulls=None) -> StringColumn:
+def int2ip(values, nulls=None) -> StringColumn:
     valid = _valid_from_bitmask(nulls, len(values))
     out = []
     for i, v in enumerate(values):
         if not valid[i]:
             out.append(None)
             continue
-        v = int(v) & 0xFFFFFFFF
+        v = int(v or 0) & 0xFFFFFFFF
         out.append(
             f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
         )

@@ -47,7 +47,7 @@ def test_getitem_and_iter():
 
 def test_stoi_stol():
     s = nvstrings.to_device(["1234", "-876", "5.3", "hello", "", None])
-    assert s.stoi() == [1234, -876, 5, 0, 0, 0]
+    assert s.stoi() == [1234, -876, 5, 0, 0, None]
     s2 = nvstrings.to_device(["123456789012345"])
     assert s2.stol() == [123456789012345]
 
@@ -209,3 +209,75 @@ def test_add_strings_api():
     got = s1.add_strings(s2)
     assert got.to_host() == ["dog and cat", None, "accénted", "", "aaa",
                              None, "", "bbb"]
+
+
+def test_hash_reference_vector():
+    # exact murmur3 values from python/tests/test_convert.py::test_hash
+    s = nvstrings.to_device(
+        ["1234", "5678", "90", None, "-876", "543.2", "-0.12", ".55",
+         "-.002", "", "de", "abc123", "123abc", "456e", "-1.78e+5"]
+    )
+    assert s.hash() == [
+        1762063109, 3008518326, 3419725934, None, 1225421472, 2952354928,
+        2093756495, 1292375090, 2098378342, 1257683291, 3758453927,
+        213530502, 2957649541, 4248160425, 2735531987,
+    ]
+
+
+def test_convert_reference_vectors():
+    corpus = ["1234", "5678", "90", None, "-876", "543.2", "-0.12", ".55",
+              "-.002", "", "de", "abc123", "123abc", "456e", "-1.78e+5"]
+    s = nvstrings.to_device(corpus)
+    assert s.stoi() == [1234, 5678, 90, None, -876, 543, 0, 0, 0, 0, 0, 0,
+                        123, 456, -1]
+    got = s.stof()
+    exp = [1234.0, 5678.0, 90.0, None, -876.0, 543.2000122070312,
+           -0.11999999731779099, 0.550000011920929, -0.0020000000949949026,
+           0.0, 0.0, 0.0, 123.0, 456.0, -178000.0]
+    for g, e in zip(got, exp):
+        assert (g is None and e is None) or g == pytest.approx(e, rel=1e-7)
+    assert nvstrings.to_device(["1234", "ABCDEF", "1A2", "cafe"]).htoi() == [
+        4660, 11259375, 418, 51966,
+    ]
+
+
+def test_ip_reference_vectors():
+    s = nvstrings.to_device(["192.168.0.1", "10.0.0.1", None, "", "hello",
+                             "41.186.0.1", "41.197.0.1"])
+    assert s.ip2int() == [3232235521, 167772161, None, 0, 0, 700055553,
+                          700776449]
+    got = nvstrings.int2ip(
+        [3232235521, 167772161, None, 0, 0, 700055553, 700776449]
+    )
+    assert got.to_host() == ["192.168.0.1", "10.0.0.1", "0.0.0.0",
+                             "0.0.0.0", "0.0.0.0", "41.186.0.1",
+                             "41.197.0.1"]
+
+
+def test_ftos_dtos_reference_vectors():
+    got = nvstrings.ftos(
+        np.array([0, 103, -254848.5929, 8395794.248339, np.nan, np.inf],
+                 np.float32)
+    ).to_host()
+    assert got == ["0.0", "103.0", "-254848.5938", "8395794.0", "NaN",
+                   "Inf"]
+    got = nvstrings.dtos(
+        np.array([0, 103342.313, -25.4294, 839542223232.794248339, np.nan],
+                 np.float64)
+    ).to_host()
+    assert got == ["0.0", "103342.313", "-25.4294", "8.395422232e+11",
+                   "NaN"]
+
+
+def test_booleans_reference():
+    s = nvstrings.to_device(["true", "false", None, "", "true", "True"])
+    assert s.to_booleans() == [False, False, None, False, False, True]
+    assert s.to_booleans(true="true") == [True, False, None, False, True,
+                                          False]
+    got = nvstrings.from_booleans([True, False, False, True], nulls=[11])
+    assert got.to_host() == ["True", "False", None, "True"]
+
+
+def test_is_empty_null_none():
+    s = nvstrings.to_device(["true", "false", None, "", "true"])
+    assert s.is_empty() == [False, False, None, True, False]
