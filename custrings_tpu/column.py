@@ -249,7 +249,12 @@ def _pad_to(data: jax.Array, capacity: int) -> jax.Array:
     return jnp.zeros(capacity, jnp.uint8).at[: data.shape[0]].set(data)
 
 
-def jit_materialize(body_fn, static_argnums=()):
+# ops skip the exact-size sync and allocate the bound directly when the
+# static output bound is below this many bytes (latency >> memory there)
+BOUND_SYNC_THRESHOLD = 1 << 28
+
+
+def jit_materialize(body_fn, static_argnums=(), bound_fn=None):
     """Compile a materializing op into exactly two XLA programs + one sync.
 
     body_fn(col, *args) must be pure-traceable and return
@@ -258,6 +263,11 @@ def jit_materialize(body_fn, static_argnums=()):
     cpp/src/strings/split.cu:143-220, with XLA fusion inside each pass);
     sizes are recomputed in the write pass — cheap next to the dispatch
     latency it saves.
+
+    bound_fn(col, *args) -> static byte upper bound or None.  When it
+    returns a bound under BOUND_SYNC_THRESHOLD the size pass and its
+    device->host sync are skipped entirely: the buffer is allocated at the
+    bound and offsets stay exact (ONE program, ZERO syncs).
     """
     body_static = tuple(static_argnums)
 
@@ -279,8 +289,14 @@ def jit_materialize(body_fn, static_argnums=()):
     full_cache: dict = {}
 
     def op(col, *args):
-        total = int(total_fn(col, *args))
-        capacity = bucket_bytes(total)
+        capacity = None
+        if bound_fn is not None:
+            bound = bound_fn(col, *args)
+            if bound is not None and bound <= BOUND_SYNC_THRESHOLD:
+                capacity = bucket_bytes(bound)
+        if capacity is None:
+            total = int(total_fn(col, *args))
+            capacity = bucket_bytes(total)
         if capacity not in full_cache:
             full_cache[capacity] = make_full(capacity)
         data, out_offsets, validity = full_cache[capacity](col, *args)

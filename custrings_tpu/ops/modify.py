@@ -149,11 +149,17 @@ def replace_literal(
     )
     plan = _replace_plan(col, p, m, _has_border(pat_b), n)
     picks_per_row = plan[4]
-    nbytes, npicks = jax.device_get(
-        (col.offsets[-1], jnp.sum(picks_per_row))
-    )
-    total = int(nbytes) + int(npicks) * (rl - m)
-    bcap = bucket_bytes(total)
+    from ..column import BOUND_SYNC_THRESHOLD
+
+    if rl <= m and col.capacity <= BOUND_SYNC_THRESHOLD:
+        # output can only shrink: allocate at input capacity, skip the sync
+        bcap = col.capacity
+    else:
+        nbytes, npicks = jax.device_get(
+            (col.offsets[-1], jnp.sum(picks_per_row))
+        )
+        total = int(nbytes) + int(npicks) * (rl - m)
+        bcap = bucket_bytes(total)
     data, out_offsets = _replace_write(col, plan, r, m, rl, bcap)
     return StringColumn(data, out_offsets, col.validity)
 

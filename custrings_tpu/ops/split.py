@@ -106,13 +106,29 @@ def _ragged_write(col, starts, byte_off, bcap):
 
 
 def run_ragged(body_fn, col, *args, static_args=()) -> TokenColumn:
-    total_tokens = int(_ragged_counts(col, body_fn, static_args, *args))
-    tcap = bucket_bytes(total_tokens)
+    from ..column import BOUND_SYNC_THRESHOLD
+
+    # token count is bounded by bytes + rows (every token needs either a
+    # byte or an empty row); token bytes are bounded by input bytes.  Under
+    # the threshold, skip BOTH size syncs and allocate the bounds.
+    tok_bound = col.capacity + col.size
+    if tok_bound * 8 <= BOUND_SYNC_THRESHOLD:
+        total_tokens = None
+        tcap = bucket_bytes(tok_bound)
+    else:
+        total_tokens = int(_ragged_counts(col, body_fn, static_args, *args))
+        tcap = bucket_bytes(total_tokens)
     tok_off, starts, byte_off = _ragged_extents(
         col, body_fn, static_args, tcap, *args
     )
-    total_bytes = int(byte_off[-1])
-    bcap = bucket_bytes(total_bytes)
+    if total_tokens is None and col.capacity <= BOUND_SYNC_THRESHOLD:
+        bcap = col.capacity
+        total_tokens = int(tok_off[-1])  # one sync still needed for slicing
+    else:
+        if total_tokens is None:
+            total_tokens = int(tok_off[-1])
+        total_bytes = int(byte_off[-1])
+        bcap = bucket_bytes(total_bytes)
     data = _ragged_write(col, starts, byte_off, bcap)
     tokens = StringColumn(
         data,

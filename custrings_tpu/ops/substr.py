@@ -82,7 +82,9 @@ def _slice_body(col: StringColumn, starts, stops, raw: bool):
     return sizes, col.validity, produce
 
 
-_slice_op = jit_materialize(_slice_body, static_argnums=(3,))
+_slice_op = jit_materialize(
+    _slice_body, static_argnums=(3,), bound_fn=lambda col, *a: col.capacity
+)
 
 
 def _slice_bytes(col: StringColumn, starts, stops, raw: bool = False) -> StringColumn:

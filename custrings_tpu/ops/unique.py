@@ -68,19 +68,29 @@ def dictionary_encode(col: StringColumn):
         return empty_column(0), jnp.zeros(0, jnp.int32)
     full_width = -(-layout.max_row_bytes(col) // 4) * 4
     width = min(full_width, 64)
+    import numpy as np
+
     while True:
         ord_, ranks, values, first, ambiguous = _encode_sorted(
             col, width, full_width
         )
-        if width >= full_width or not bool(ambiguous):
+        # one host round trip for the escalation check + compaction inputs
+        amb_np, first_np, ord_np = jax.device_get((ambiguous, first, ord_))
+        if width >= full_width or not bool(amb_np):
             break
         width = min(width * 4, full_width)
-    # compact first-occurrence positions on host (ucount is dynamic anyway)
-    first_np = jax.device_get(first)
-    import numpy as np
 
-    key_idx = jax.device_get(ord_)[np.nonzero(first_np)[0]]
-    keys = array.gather(col, key_idx.astype(jnp.int32))
+    key_idx = ord_np[np.nonzero(first_np)[0]]
+    # unique row indices: gathered bytes bounded by the source capacity
+    from ..column import BOUND_SYNC_THRESHOLD
+    from .array import _gather_impl
+
+    if col.capacity <= BOUND_SYNC_THRESHOLD:
+        keys = _gather_impl(
+            col, jnp.asarray(key_idx, jnp.int32), col.capacity
+        )
+    else:
+        keys = array.gather(col, key_idx.astype(jnp.int32))
     return keys, values
 
 

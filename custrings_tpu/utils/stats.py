@@ -47,6 +47,7 @@ def compute_statistics(col: StringColumn) -> dict:
         "avg_bytes": float(vl.mean()) if len(vl) else 0.0,
         "max_bytes": int(vl.max()) if len(vl) else 0,
         "min_bytes": int(vl.min()) if len(vl) else 0,
+        "pct95_bytes": float(np.percentile(vl, 95)) if len(vl) else 0.0,
         "device_memory": int(
             col.data.nbytes + col.offsets.nbytes + col.validity.nbytes
         ),
