@@ -88,6 +88,32 @@ def value_of(cat: Category, key: str | None) -> int:
     return int(searchsorted_keys(cat.keys, q)[0])
 
 
+def get_value_bounds(cat: Category, key: str | None) -> tuple[int, int]:
+    """(lower, upper) bound positions for merge planning
+    (NVCategory.cu get_value_bounds:795): (v, v) when present, else the
+    insertion gap (pos-1, pos) in the sorted keyset."""
+    v = value_of(cat, key)
+    if v >= 0:
+        return (v, v)
+    from .column import to_host_strings
+
+    keys = to_host_strings(cat.keys)
+    kb = key.encode("utf-8") if key is not None else None
+
+    def less(a):
+        # byte-wise, null first (custr::compare ordering)
+        if a is None:
+            return kb is not None
+        if kb is None:
+            return False
+        return a.encode("utf-8") < kb
+
+    pos = 0
+    while pos < len(keys) and less(keys[pos]):
+        pos += 1
+    return (pos - 1, pos)
+
+
 def indexes_for_key(cat: Category, key: str | None) -> jax.Array:
     v = value_of(cat, key)
     idx = np.nonzero(np.asarray(jax.device_get(cat.values)) == v)[0]

@@ -45,6 +45,9 @@ class nvcategory:
     def value(self, str):
         return _cat.value_of(self._cat, str)
 
+    def get_value_bounds(self, str):
+        return _cat.get_value_bounds(self._cat, str)
+
     def values(self, devptr=0):
         out = np.asarray(jax.device_get(self._cat.values))
         if isinstance(devptr, np.ndarray):

@@ -1,0 +1,20 @@
+"""Tweet regex workload (BASELINE config 3): hashtags/mentions/urls."""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from custrings_tpu import nvstrings
+
+path = "/root/reference/data/tweets.csv"
+if os.path.exists(path):
+    tweets = nvstrings.from_csv(path, 7)[:200]
+else:
+    tweets = nvstrings.to_device(["hello #world from @me http://x.co"])
+
+hashtags = tweets.findall_record(r"#\w+")
+mentions = tweets.count(r"@\w+")
+cleaned = tweets.replace(r"https?://\S+", "<url>")
+print("rows:", tweets.size())
+print("first hashtags:", [h.to_host() for h in hashtags[:3] if h])
+print("mention counts:", mentions[:10])
+print("cleaned sample:", cleaned[:1].to_host())

@@ -198,3 +198,11 @@ def test_numeric_algebra():
     )
     assert list(np.asarray(m.keys)) == [1, 2, 3]
     assert list(m.values) == [0, 2, 1, 2]
+
+
+def test_get_value_bounds():
+    cat = C.from_strings(dev(["b", "d", "f", "b"]))
+    assert C.get_value_bounds(cat, "d") == (1, 1)
+    assert C.get_value_bounds(cat, "c") == (0, 1)
+    assert C.get_value_bounds(cat, "a") == (-1, 0)
+    assert C.get_value_bounds(cat, "z") == (2, 3)
