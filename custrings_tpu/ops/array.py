@@ -45,6 +45,10 @@ def gather(col: StringColumn, indexes) -> StringColumn:
     Negative indexes wrap (python/nvstrings.py sublist docs).
     """
     idx = jnp.asarray(indexes, dtype=jnp.int32)
+    if idx.shape[0] == 0 or col.size == 0:
+        from ..column import empty_column
+
+        return empty_column(int(idx.shape[0]), all_null=col.size == 0)
     idx = jnp.where(idx < 0, idx + col.size, idx)
     total = int(jnp.sum((col.offsets[1:] - col.offsets[:-1])[idx]))
     return _gather_impl(col, idx, bucket_bytes(total))
