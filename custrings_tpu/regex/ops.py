@@ -26,21 +26,38 @@ def get_program(pattern: str) -> DeviceProgram:
     return DeviceProgram(compile_pattern(pattern))
 
 
+@lru_cache(maxsize=256)
+def _get_pallas_nfa(pattern: str):
+    from .pallas_nfa import PallasNFA
+
+    return PallasNFA(get_program(pattern))
+
+
+def _use_pallas_nfa() -> bool:
+    import os
+
+    return os.environ.get("CUSTRINGS_PALLAS_NFA", "0") == "1"
+
+
 def _mats(col: StringColumn):
     return layout.char_matrix(col)
 
 
 def contains_re(col: StringColumn, pattern: str) -> jax.Array:
     """bool[rows] (count.cu contains_re:59); null rows -> False."""
-    dp = get_program(pattern)
     chars, nch = _mats(col)
+    if _use_pallas_nfa():
+        return _get_pallas_nfa(pattern).matches(chars, nch, False) & col.validity
+    dp = get_program(pattern)
     return dp.nfa_matches(chars, nch, False) & col.validity
 
 
 def match_re(col: StringColumn, pattern: str) -> jax.Array:
     """Anchored-at-0 match (count.cu match:113)."""
-    dp = get_program(pattern)
     chars, nch = _mats(col)
+    if _use_pallas_nfa():
+        return _get_pallas_nfa(pattern).matches(chars, nch, True) & col.validity
+    dp = get_program(pattern)
     return dp.nfa_matches(chars, nch, True) & col.validity
 
 

@@ -1,0 +1,216 @@
+"""Pallas TPU kernel for the boolean lockstep NFA (contains/match).
+
+The XLA formulation (device.DeviceProgram.nfa_matches) runs one HLO loop
+step per char with state round-tripping through HBM.  This kernel keeps the
+whole automaton in VMEM for a row tile and drives every transition through
+the MXU:
+
+    closed = state @ closure[u]          (eps-closure reachability)
+    pred   = char-compare + membership @ onehot(class ids)
+    state' = (closed * pred) @ next_mat  (consume edges)
+
+Char-class membership and word-char flags are precomputed OUTSIDE the
+kernel (tiny gathers XLA already does well), so the kernel body is pure
+matmul/elementwise — no dynamic gathers in Mosaic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import use_interpret_mode
+from .compiler import ANY, ANYNL, CCLASS, CHAR, NCCLASS
+
+ROW_TILE = 256
+
+
+def _kernel_factory(U, I, nctx_vary):
+    def kernel(
+        chars_ref,  # [T, L] int32
+        lens_ref,  # [T] int32
+        memb_ref,  # [T, L, I] int8: per-position per-inst class pred
+        alnum_ref,  # [T, L] int8
+        closure_ref,  # [U, I, I] f32
+        ctxmap_ref,  # [32] int32
+        next_ref,  # [I, I] f32
+        isend_ref,  # [I] f32
+        start_ref,  # [I] f32
+        types_ref,  # [I] int32
+        args_ref,  # [I] int32
+        anchored_ref,  # [1] int32
+        out_ref,  # [T] int8
+    ):
+        T, L = chars_ref.shape
+        types = types_ref[:]
+        args = args_ref[:]
+        is_char = (types == CHAR).astype(jnp.float32)
+        is_any = (types == ANY).astype(jnp.float32)
+        is_anynl = (types == ANYNL).astype(jnp.float32)
+        is_cc = ((types == CCLASS) | (types == NCCLASS)).astype(jnp.float32)
+        anchored = anchored_ref[0]
+
+        def step(p, carry):
+            state, matched = carry  # [T, I] f32, [T] f32
+            cur = jnp.where(
+                p < lens_ref[:], chars_ref[:, p], 0
+            )  # [T]
+            prev = jnp.where(
+                (p > 0) & (p - 1 < lens_ref[:]),
+                chars_ref[:, jnp.maximum(p - 1, 0)],
+                0,
+            )
+            inject = jnp.where(
+                anchored > 0,
+                ((p == 0) & (matched < 0.5)).astype(jnp.float32),
+                (matched < 0.5).astype(jnp.float32),
+            )
+            state = jnp.maximum(state, start_ref[:][None, :] * inject[:, None])
+            # context bits
+            al_cur = jnp.where(p < lens_ref[:], alnum_ref[:, p], 0)
+            al_prev = jnp.where(
+                (p > 0) & (p - 1 < lens_ref[:]),
+                alnum_ref[:, jnp.maximum(p - 1, 0)],
+                0,
+            )
+            ctx = (
+                (p == 0).astype(jnp.int32) * 1
+                + (prev == 10).astype(jnp.int32) * 2
+                + (cur == 0).astype(jnp.int32) * 4
+                + (cur == 10).astype(jnp.int32) * 8
+                + (al_cur != al_prev).astype(jnp.int32) * 16
+            )
+            uid = ctxmap_ref[ctx]  # [T]
+            if U == 1:
+                closed = jnp.dot(
+                    state, closure_ref[0], preferred_element_type=jnp.float32
+                )
+            else:
+                closed = jnp.zeros_like(state)
+                for u in range(U):
+                    cu = jnp.dot(
+                        state,
+                        closure_ref[u],
+                        preferred_element_type=jnp.float32,
+                    )
+                    closed = jnp.where((uid == u)[:, None], cu, closed)
+            closed = jnp.minimum(closed, 1.0)
+            matched = jnp.maximum(
+                matched,
+                jnp.max(closed * isend_ref[:][None, :], axis=1),
+            )
+            # char predicate [T, I]
+            curE = cur[:, None]
+            pred = (
+                is_char[None, :] * (curE == args[None, :])
+                + is_any[None, :] * ((curE != 10) & (curE != 0))
+                + is_anynl[None, :] * (curE != 0)
+                + is_cc[None, :]
+                * memb_ref[:, p, :].astype(jnp.float32)
+            )
+            pred = pred * (curE != 0)
+            fire = closed * pred
+            state = jnp.minimum(
+                jnp.dot(fire, next_ref[:], preferred_element_type=jnp.float32),
+                1.0,
+            )
+            return state, matched
+
+        state0 = jnp.zeros((T, I), jnp.float32)
+        matched0 = jnp.zeros((T,), jnp.float32)
+        _, matched = jax.lax.fori_loop(0, L + 1, step, (state0, matched0))
+        out_ref[:] = (matched > 0.5).astype(jnp.int8)
+
+    return kernel
+
+
+class PallasNFA:
+    """Per-DeviceProgram Pallas matcher."""
+
+    def __init__(self, dp):
+        self.dp = dp
+        prog = dp.prog
+        self.I = dp.I
+        cu = np.asarray(jax.device_get(dp.closure_unique)).astype(np.float32)
+        self.closure = jnp.asarray(cu)
+        self.U = cu.shape[0]
+        self.ctx_map = dp.ctx_map.astype(jnp.int32)
+        self.next_mat = dp.next_mat.astype(jnp.float32)
+        self.is_end = dp.is_end.astype(jnp.float32)
+        self.start_vec = dp.start_vec.astype(jnp.float32)
+        self.types = jnp.asarray(prog.types)
+        self.args = jnp.asarray(prog.args)
+        # per-inst class id (or 0) for membership precompute
+        cls_of_inst = np.where(
+            np.isin(prog.types, (CCLASS, NCCLASS)), prog.args, 0
+        )
+        self.cls_of_inst = jnp.asarray(cls_of_inst, jnp.int32)
+        self.is_ncc = jnp.asarray(prog.types == NCCLASS)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def matches(self, chars, lengths, anchored: bool):
+        from jax.experimental import pallas as pl
+
+        N, L = chars.shape
+        T = ROW_TILE
+        pad = (-N) % T
+        if pad:
+            chars = jnp.pad(chars, ((0, pad), (0, 0)))
+            lengths = jnp.pad(lengths, (0, pad))
+        NP = N + pad
+        # precompute per-position per-inst class predicate [NP, L, I] int8
+        in_class = self.dp._class_membership(chars)  # [NP, L, n_classes]
+        memb = in_class[..., self.cls_of_inst]  # [NP, L, I]
+        memb = jnp.where(self.is_ncc[None, None, :], ~memb, memb)
+        memb = memb.astype(jnp.int8)
+        flags, _ = __import__(
+            "custrings_tpu.unicode.tables", fromlist=["device_tables"]
+        ).device_tables()
+        from ..unicode.tables import FLAG_ALPHANUM
+
+        safe = jnp.clip(chars, 0, flags.shape[0] - 1)
+        alnum = (
+            (chars > 0)
+            & (chars < flags.shape[0])
+            & ((flags[safe].astype(jnp.int32) & FLAG_ALPHANUM) > 0)
+        ).astype(jnp.int8)
+
+        kernel = _kernel_factory(self.U, self.I, None)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((NP,), jnp.int8),
+            grid=(NP // T,),
+            in_specs=[
+                pl.BlockSpec((T, L), lambda i: (i, 0)),
+                pl.BlockSpec((T,), lambda i: (i,)),
+                pl.BlockSpec((T, L, self.I), lambda i: (i, 0, 0)),
+                pl.BlockSpec((T, L), lambda i: (i, 0)),
+                pl.BlockSpec((self.U, self.I, self.I), lambda i: (0, 0, 0)),
+                pl.BlockSpec((32,), lambda i: (0,)),
+                pl.BlockSpec((self.I, self.I), lambda i: (0, 0)),
+                pl.BlockSpec((self.I,), lambda i: (0,)),
+                pl.BlockSpec((self.I,), lambda i: (0,)),
+                pl.BlockSpec((self.I,), lambda i: (0,)),
+                pl.BlockSpec((self.I,), lambda i: (0,)),
+                pl.BlockSpec((1,), lambda i: (0,)),
+            ],
+            out_specs=pl.BlockSpec((T,), lambda i: (i,)),
+            interpret=use_interpret_mode(),
+        )(
+            chars.astype(jnp.int32),
+            lengths.astype(jnp.int32),
+            memb,
+            alnum,
+            self.closure,
+            self.ctx_map,
+            self.next_mat,
+            self.is_end,
+            self.start_vec,
+            self.types,
+            self.args,
+            jnp.asarray([1 if anchored else 0], jnp.int32),
+        )
+        return out[:N] > 0

@@ -246,3 +246,17 @@ def test_replace_multi_tie():
     col = dev(["abc"])
     got = host(rx.replace_multi_re(col, [r"ab", r"abc"], ["1", "2"]))
     assert got == ["1c"]  # earliest position, first pattern listed wins
+
+
+@pytest.mark.parametrize("pattern", ["\\d", "\\w+", "[Hh]ello [Ww]orld",
+                                     "\\bworld\\b", ".*c"])
+def test_pallas_nfa_matches_xla(pattern):
+    from custrings_tpu.ops import layout
+    from custrings_tpu.regex.pallas_nfa import PallasNFA
+
+    col = dev(S30)
+    chars, nch = layout.char_matrix(col)
+    dp = rx.get_program(pattern)
+    ref = np.asarray(dp.nfa_matches(chars, nch, False))
+    got = np.asarray(PallasNFA(dp).matches(chars, nch, False))
+    assert ref.tolist() == got.tolist()
