@@ -135,3 +135,15 @@ def test_encode_codepoints_roundtrip():
     bts, w = np.asarray(bts), np.asarray(w)
     for i, ch in enumerate(text):
         assert bytes(bts[i][: w[i]]) == ch.encode("utf-8")
+
+
+def test_isalnum_reference_corpus():
+    # python/tests/test_convert.py::test_isalnum (includes non-ASCII
+    # numerics like 7-one-quarter and superscripts)
+    corpus = ["1234567890", "de", "1.75", "-34", "+9.8", "7¼", "x³", "2³",
+              "12⅝", "", "\t\r\n "]
+    col = column.from_host_strings(corpus)
+    assert [bool(b) for b in attrs.isalnum(col)] == [
+        True, True, False, False, False, True, True, True, True, False,
+        False,
+    ]
