@@ -188,6 +188,63 @@ def _regex_count_local(matches):
     return jnp.sum(matches.astype(jnp.int32))
 
 
+def distributed_unique_tokens(
+    col: StringColumn, mesh: Mesh, delimiter=None, axis: str = "data"
+):
+    """Distributed nvtext.unique_tokens: tokenize per shard, collective
+    key-merge for the global unique count (SURVEY §5.8 north star).
+
+    Returns (global_token_ids [S, R] int32 per local token slot, -1 pad;
+    n_unique replicated scalar).
+    """
+    n_shards = int(np.prod(mesh.devices.shape))
+    from ..text.token import tokenize
+    from ..column import to_host_strings
+
+    # host-side fan-out: tokenize each row shard with the single-chip path,
+    # then stack the token columns at a common capacity
+    n = col.size
+    rows_per = -(-n // n_shards)
+    shards = []
+    for s in range(n_shards):
+        lo, hi = s * rows_per, min((s + 1) * rows_per, n)
+        from ..ops.array import gather
+
+        sub = gather(col, np.arange(lo, max(hi, lo), dtype=np.int64))
+        shards.append(tokenize(sub, delimiter))
+    max_tokens = max(max(t.size for t in shards), 1)
+    import jax as _jax
+
+    d_list, o_list, v_list, a_list = [], [], [], []
+    cap = max(
+        -(-max(int(_jax.device_get(t.offsets[-1])) for t in shards) // 128)
+        * 128,
+        128,
+    )
+    for t in shards:
+        nb = int(_jax.device_get(t.offsets[-1]))
+        d = np.zeros(cap, np.uint8)
+        d[:nb] = np.asarray(_jax.device_get(t.data))[:nb]
+        o = np.full(max_tokens + 1, nb, np.int32)
+        o[: t.size + 1] = np.asarray(_jax.device_get(t.offsets))
+        v = np.zeros(max_tokens, np.bool_)
+        v[: t.size] = True
+        a = np.zeros(max_tokens, np.bool_)
+        a[: t.size] = True
+        d_list.append(d)
+        o_list.append(o)
+        v_list.append(v)
+        a_list.append(a)
+    return distributed_categorize(
+        jnp.asarray(np.stack(d_list)),
+        jnp.asarray(np.stack(o_list)),
+        jnp.asarray(np.stack(v_list)),
+        jnp.asarray(np.stack(a_list)),
+        mesh,
+        axis,
+    )
+
+
 def distributed_contains(chars_sh, lens_sh, pattern: str, mesh, axis="data"):
     """Row-sharded regex contains + global match count via psum."""
     from .compat import shard_map

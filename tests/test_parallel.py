@@ -59,3 +59,15 @@ def test_distributed_contains():
     exp = [bool(re.search(r"\d+", s)) if s else False for s in strs]
     assert got.tolist() == exp
     assert int(total) == sum(exp)
+
+
+def test_distributed_unique_tokens():
+    strs = ["the quick fox", "the lazy dog", None, "fox and dog run",
+            "quick quick"] * 2
+    col = column.from_host_strings(strs)
+    mesh = make_mesh(2)
+    ids, n_unique = dist.distributed_unique_tokens(col, mesh)
+    from custrings_tpu.text.token import unique_tokens
+
+    exp = unique_tokens(col, None)
+    assert int(n_unique) == exp.size
