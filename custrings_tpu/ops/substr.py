@@ -26,7 +26,12 @@ def _char_window(col: StringColumn, starts, stops, raw: bool = False):
     """
     cm = layout.char_map(col)
     nch = cm.nchars()
-    s = jnp.clip(starts.astype(jnp.int32), 0, nch)
+    s = starts.astype(jnp.int32)
+    if not raw:
+        # reference: negative start casts to huge unsigned and clamps to
+        # end-of-string => empty result (substr.cu:55, test_substr.py:12-20)
+        s = jnp.where(s < 0, nch, s)
+    s = jnp.clip(s, 0, nch)
     e = stops.astype(jnp.int32)
     if not raw:
         e = jnp.where(e <= 0, nch, e)

@@ -417,3 +417,33 @@ def test_url_reference_corpus():
     ]
     got = host(urlencode.url_decode(dev(urls2)))
     assert got == [urllib.parse.unquote(u) for u in urls2]
+
+
+def test_slice_from_negative_reference():
+    # negative start casts unsigned -> empty (test_substr.py:12-20)
+    col = dev(["hello world", "holy accéntéd", "batman", None, ""])
+    got = host(substr.slice_from(col, [2, 3, -1, -1, -1]))
+    assert got == ["llo world", "y accéntéd", "", None, ""]
+
+
+SORT_CORPUS = ["abc", "defghi", None, "jkl", "mno", "pqr", "stu",
+               "dog and cat", "accénted", ""]
+
+
+def test_sort_reference_expectations():
+    col = dev(SORT_CORPUS)
+    assert host(array.sort(col, 1)) == [
+        None, "", "abc", "jkl", "mno", "pqr", "stu", "defghi", "accénted",
+        "dog and cat",
+    ]
+    assert host(array.sort(col, 2)) == [
+        None, "", "abc", "accénted", "defghi", "dog and cat", "jkl", "mno",
+        "pqr", "stu",
+    ]
+    assert host(array.sort(col, 3)) == [
+        None, "", "abc", "jkl", "mno", "pqr", "stu", "defghi", "accénted",
+        "dog and cat",
+    ]
+    assert list(array.order(col, 1)) == [2, 9, 0, 3, 4, 5, 6, 1, 8, 7]
+    assert list(array.order(col, 2)) == [2, 9, 0, 8, 1, 7, 3, 4, 5, 6]
+    assert list(array.order(col, 3)) == [2, 9, 0, 3, 4, 5, 6, 1, 8, 7]
