@@ -281,3 +281,25 @@ def test_booleans_reference():
 def test_is_empty_null_none():
     s = nvstrings.to_device(["true", "false", None, "", "true"])
     assert s.is_empty() == [False, False, None, True, False]
+
+
+@pytest.mark.parametrize(
+    "func", ["lower", "upper", "swapcase", "capitalize", "title", "strip"]
+)
+def test_allnulls(func):
+    s = nvstrings.to_device([None, None, None])
+    assert getattr(s, func)().to_host() == [None, None, None]
+
+
+def test_cat_multiple():
+    s1 = nvstrings.to_device(["a", "b"])
+    s2 = nvstrings.to_device(["c", "d"])
+    s3 = nvstrings.to_device(["e", "f"])
+    got = s1.cat([s2, s3], sep=":")
+    assert got.to_host() == ["a:c:e", "b:d:f"]
+
+
+def test_scalar_scatter():
+    s = nvstrings.to_device(["a", "b", "c", "d"])
+    got = s.scalar_scatter("X", [1, 3])
+    assert got.to_host() == ["a", "X", "c", "X"]
