@@ -76,8 +76,8 @@ def bench_pandas(lines, iters=3):
 
 
 def main():
-    # default kept at 4096 so repeated runs hit the remote-compile cache
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    # default kept at 16384 so repeated runs hit the remote-compile cache
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     lines = load_corpus(n_rows)
     ops = 4  # contains + replace + split + categorize
     dt_tpu = bench_tpu(lines)
