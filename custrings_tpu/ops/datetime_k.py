@@ -6,9 +6,10 @@ long2timestamp:639): a tiny strptime/strftime subset with specifiers
 (docs/source/datetime.md).  Default format "%Y-%m-%dT%H:%M:%SZ"
 (datetime.cu default).
 
-This implementation runs the format program on host (column egress/ingress
-for datetime is not on any hot path); a vectorized device version is the
-natural upgrade once fixed-width formats are detected.
+Fixed-width formats (the common case, incl. the default) parse fully ON
+DEVICE: positional digit gathers + vectorized civil-date math
+(timestamp2int_device).  Variable-width formats (%z) fall back to the host
+format program.
 """
 
 from __future__ import annotations
@@ -137,10 +138,123 @@ def _to_units(total_us: int, units: str, when=None) -> int:
     raise ValueError(f"unknown units {units!r}")
 
 
+def _fixed_layout(items):
+    """Static (spec, position) layout when every item is fixed-width;
+    None when %z or unknown specs make positions dynamic."""
+    pos = 0
+    layout = []
+    for kind, v in items:
+        if kind == "lit":
+            pos += 1
+            continue
+        if v == "z":
+            return None  # offset may be absent -> variable
+        ln = _SPEC_LEN.get(v)
+        if ln is None:
+            return None
+        layout.append((v, pos, ln))
+        pos += ln
+    return layout
+
+
+def _days_from_civil(y, m, d):
+    """Vectorized civil date -> days since 1970-01-01 (Hinnant algorithm)."""
+    y = y - (m <= 2)
+    era = jnp.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def timestamp2int_device(col: StringColumn, layout, units: str) -> jax.Array:
+    """Device parse for fixed-width formats: positional digit gathers +
+    vectorized civil-date math (the compiled-format fast path replacing
+    datetime.cu's per-thread parser)."""
+    from .convert import _require_x64
+
+    _require_x64()
+    mat, lens = _char_mat_dt(col)
+
+    def field(pos, ln):
+        v = jnp.zeros(col.size, jnp.int64)
+        for k in range(ln):
+            c = mat[:, min(pos + k, mat.shape[1] - 1)]
+            dig = jnp.clip(c - ord("0"), 0, 9).astype(jnp.int64)
+            v = v * 10 + dig
+        return v
+
+    Y = jnp.full(col.size, 1970, jnp.int64)
+    mo = jnp.ones(col.size, jnp.int64)
+    d = jnp.ones(col.size, jnp.int64)
+    H = jnp.zeros(col.size, jnp.int64)
+    M = jnp.zeros(col.size, jnp.int64)
+    S = jnp.zeros(col.size, jnp.int64)
+    us = jnp.zeros(col.size, jnp.int64)
+    pm = None
+    doy = None
+    for v, pos, ln in layout:
+        f = field(pos, ln)
+        if v == "Y":
+            Y = f
+        elif v == "y":
+            Y = jnp.where(f < 69, 2000 + f, 1900 + f)
+        elif v == "m":
+            mo = f
+        elif v == "d":
+            d = f
+        elif v in ("H", "I"):
+            H = f
+        elif v == "M":
+            M = f
+        elif v == "S":
+            S = f
+        elif v == "f":
+            us = f
+        elif v == "j":
+            doy = f
+        elif v == "p":
+            c = mat[:, min(pos, mat.shape[1] - 1)]
+            pm = (c == ord("P")) | (c == ord("p"))
+    if pm is not None:
+        H = jnp.where(pm & (H < 12), H + 12, jnp.where(~pm & (H == 12), 0, H))
+    if doy is not None:
+        days = _days_from_civil(Y, jnp.ones_like(Y), jnp.ones_like(Y)) + doy - 1
+    else:
+        days = _days_from_civil(Y, mo, d)
+    total_us = ((days * 24 + H) * 60 + M) * 60 * 1000000 + S * 1000000 + us
+    if units in _UNITS_PER_SEC:
+        out = total_us * _UNITS_PER_SEC[units] // 1000000
+    elif units == "Y":
+        out = Y - 1970
+    elif units == "M":
+        out = (Y - 1970) * 12 + (mo - 1)
+    elif units == "D":
+        out = days
+    elif units == "h":
+        out = days * 24 + H
+    elif units == "m":
+        out = (days * 24 + H) * 60 + M
+    else:
+        raise ValueError(f"unknown units {units!r}")
+    return jnp.where(col.validity & (col.lengths() > 0), out, 0)
+
+
+def _char_mat_dt(col: StringColumn):
+    from . import layout as L
+
+    w = max(L.max_row_bytes(col), 1)
+    return L.padded_view(col, w).astype(jnp.int32), col.lengths()
+
+
 def timestamp2int(
     col: StringColumn, fmt: str | None = None, units: str = "s"
 ) -> jax.Array:
     items = _compile(fmt or DEFAULT_FORMAT)
+    lay = _fixed_layout(items)
+    if lay is not None:
+        return timestamp2int_device(col, lay, units)
     out = []
     for s in to_host_strings(col):
         if s is None or s == "":
