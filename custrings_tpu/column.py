@@ -188,17 +188,26 @@ def cumsum0(sizes: jax.Array) -> jax.Array:
     return out.at[1:].set(jnp.cumsum(sizes.astype(jnp.int32)))
 
 
+# implementation selector: scatter-add+cumsum vs vectorized binary search;
+# flipped based on measured TPU lowering costs (see BASELINE.md notes)
+ROW_IDS_IMPL = "searchsorted"
+
+
 def row_ids_from_offsets(offsets: jax.Array, capacity: int) -> jax.Array:
     """For each byte position j in [0, capacity), the row that owns it.
 
     Positions past offsets[-1] (bucket padding) clamp to the last row.
-    Implemented as scatter-add of row-start marks + cumsum — O(capacity) with
-    no log-factor searchsorted gathers.
     """
     nrows = offsets.shape[0] - 1
-    starts = offsets[:-1]
-    marks = jnp.zeros((capacity + 1,), jnp.int32).at[starts].add(1)
-    ids = jnp.cumsum(marks[:capacity]) - 1
+    if ROW_IDS_IMPL == "searchsorted":
+        j = jnp.arange(capacity, dtype=jnp.int32)
+        ids = (
+            jnp.searchsorted(offsets, j, side="right").astype(jnp.int32) - 1
+        )
+    else:
+        starts = offsets[:-1]
+        marks = jnp.zeros((capacity + 1,), jnp.int32).at[starts].add(1)
+        ids = jnp.cumsum(marks[:capacity]) - 1
     return jnp.clip(ids, 0, max(nrows - 1, 0))
 
 

@@ -15,9 +15,19 @@ from ..column import StringColumn, build_column, jit_materialize
 from . import layout
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _bytes_arr_cached(b: bytes):
+    return jnp.asarray(np.frombuffer(b, dtype=np.uint8)) if b else jnp.zeros(
+        0, jnp.uint8
+    )
+
+
 def _bytes_arr(s: str | None):
     b = (s or "").encode("utf-8")
-    return jnp.asarray(np.frombuffer(b, dtype=np.uint8)), len(b)
+    return _bytes_arr_cached(b), len(b)
 
 
 def cat(

@@ -25,9 +25,19 @@ from . import layout
 _BIG = jnp.int32(2**30)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _pat_array_cached(b: bytes) -> jax.Array:
+    # constant uploads through the device transport are NOT free in this
+    # environment (relay round trip per host->device transfer); cache them
+    return jnp.asarray(np.frombuffer(b, dtype=np.uint8))
+
+
 def _pat_array(pat: str | bytes) -> jax.Array:
     b = pat.encode("utf-8") if isinstance(pat, str) else bytes(pat)
-    return jnp.asarray(np.frombuffer(b, dtype=np.uint8))
+    return _pat_array_cached(b)
 
 
 def _match_mask(data: jax.Array, pat: jax.Array) -> jax.Array:

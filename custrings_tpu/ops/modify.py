@@ -133,6 +133,60 @@ def _replace_write(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
     return data[:bcap], out_offsets
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _replace_write_gather(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
+    """Gather-based write: every output byte computes its source via the
+    inverse of the piecewise copy/insert map — no dense scatter-set (XLA
+    TPU lowers large scatters poorly; see BASELINE.md perf notes)."""
+    picked, inside, picks_in_row, covered_in_row, picks_per_row, row_start = plan
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    rows_in = layout.row_ids_from_offsets(col.offsets, cap)
+    lens = col.lengths()
+    sizes = lens + picks_per_row * (rl - m)
+    out_offsets = cumsum0(sizes)
+    # output position of each input byte (replacement start for picked j)
+    out_pos = (
+        out_offsets[:-1][rows_in]
+        + (j - row_start)
+        - covered_in_row
+        + picks_in_row * rl
+    )
+    bq = jnp.arange(bcap, dtype=jnp.int32)
+    rows_out = layout.row_ids_from_offsets(out_offsets, bcap)
+    startq = jnp.where(picked, jnp.minimum(out_pos, bcap), bcap)
+    # t(q): replacement-starts at output positions <= q (sparse scatter-add)
+    A = jnp.zeros(bcap + 1, jnp.int32).at[startq].add(1)
+    A0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(A[:bcap])]
+    )
+    out_row_start = out_offsets[:-1][rows_out]
+    # starts from EARLIER rows can collide positionally with this row's
+    # start (empty-output rows); subtract the per-row pick prefix instead
+    pr0 = cumsum0(picks_per_row)
+    t = A0[bq + 1] - pr0[rows_out]
+    # last replacement start at or before q (sparse scatter-max + cummax)
+    mark = jnp.full(bcap + 1, -1, jnp.int32).at[startq].max(
+        jnp.where(picked, out_pos, -1)
+    )
+    last_start = jax.lax.associative_scan(jnp.maximum, mark[:bcap])
+    in_repl = (last_start >= 0) & (bq - last_start < rl) if rl else jnp.zeros(
+        bcap, jnp.bool_
+    )
+    in_row_start = col.offsets[:-1][rows_out]
+    # copied byte: all counted starts are fully before q
+    t_cop = jnp.where(in_repl, t - 1, t)
+    src_j = bq - out_row_start + in_row_start + t_cop * (m - rl)
+    src = layout.gather_bytes(col.data, src_j)
+    if rl:
+        rep = r[jnp.clip(bq - last_start, 0, rl - 1)]
+    else:
+        rep = jnp.uint8(0)
+    data = jnp.where(in_repl, rep, src)
+    data = jnp.where(bq < out_offsets[-1], data, jnp.uint8(0))
+    return data, out_offsets
+
+
 def replace_literal(
     col: StringColumn, pat, repl, n: int = -1
 ) -> StringColumn:
@@ -142,11 +196,7 @@ def replace_literal(
     if m == 0:
         return col
     p = _pat_array(pat_b)
-    r = (
-        jnp.asarray(np.frombuffer(repl_b, dtype=np.uint8))
-        if rl
-        else jnp.zeros(0, jnp.uint8)
-    )
+    r = _pat_array(repl_b) if rl else _pat_array(b"\x00")[:0]
     plan = _replace_plan(col, p, m, _has_border(pat_b), n)
     picks_per_row = plan[4]
     from ..column import BOUND_SYNC_THRESHOLD

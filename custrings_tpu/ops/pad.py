@@ -34,6 +34,10 @@ def repeat(col: StringColumn, reps: int) -> StringColumn:
     return _repeat_op(col, jnp.int32(max(int(reps), 1)))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def _fill_info(fillchar: str | None):
     ch = fillchar if fillchar else " "
     b = ch.encode("utf-8")

@@ -31,7 +31,7 @@ ROW_TILE = 256
 def _kernel_factory(U, I, nctx_vary):
     def kernel(
         chars_ref,  # [T, L] int32
-        lens_ref,  # [T] int32
+        lens2_ref,  # [1, T] int32
         memb_ref,  # [T, L, I] int8: per-position per-inst class pred
         alnum_ref,  # [T, L] int8
         closure_ref,  # [U, I, I] f32
@@ -42,9 +42,10 @@ def _kernel_factory(U, I, nctx_vary):
         types_ref,  # [I] int32
         args_ref,  # [I] int32
         anchored_ref,  # [1] int32
-        out_ref,  # [T] int8
+        out_ref,  # [1, T] int8
     ):
         T, L = chars_ref.shape
+        lens_v = lens2_ref[0, :]
         types = types_ref[:]
         args = args_ref[:]
         is_char = (types == CHAR).astype(jnp.float32)
@@ -55,11 +56,9 @@ def _kernel_factory(U, I, nctx_vary):
 
         def step(p, carry):
             state, matched = carry  # [T, I] f32, [T] f32
-            cur = jnp.where(
-                p < lens_ref[:], chars_ref[:, p], 0
-            )  # [T]
+            cur = jnp.where(p < lens_v, chars_ref[:, p], 0)  # [T]
             prev = jnp.where(
-                (p > 0) & (p - 1 < lens_ref[:]),
+                (p > 0) & (p - 1 < lens_v),
                 chars_ref[:, jnp.maximum(p - 1, 0)],
                 0,
             )
@@ -70,9 +69,9 @@ def _kernel_factory(U, I, nctx_vary):
             )
             state = jnp.maximum(state, start_ref[:][None, :] * inject[:, None])
             # context bits
-            al_cur = jnp.where(p < lens_ref[:], alnum_ref[:, p], 0)
+            al_cur = jnp.where(p < lens_v, alnum_ref[:, p], 0)
             al_prev = jnp.where(
-                (p > 0) & (p - 1 < lens_ref[:]),
+                (p > 0) & (p - 1 < lens_v),
                 alnum_ref[:, jnp.maximum(p - 1, 0)],
                 0,
             )
@@ -122,7 +121,7 @@ def _kernel_factory(U, I, nctx_vary):
         state0 = jnp.zeros((T, I), jnp.float32)
         matched0 = jnp.zeros((T,), jnp.float32)
         _, matched = jax.lax.fori_loop(0, L + 1, step, (state0, matched0))
-        out_ref[:] = (matched > 0.5).astype(jnp.int8)
+        out_ref[0, :] = (matched > 0.5).astype(jnp.int8)
 
     return kernel
 
@@ -181,11 +180,11 @@ class PallasNFA:
         kernel = _kernel_factory(self.U, self.I, None)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((NP,), jnp.int8),
+            out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int8),
             grid=(NP // T,),
             in_specs=[
                 pl.BlockSpec((T, L), lambda i: (i, 0)),
-                pl.BlockSpec((T,), lambda i: (i,)),
+                pl.BlockSpec((1, T), lambda i: (i, 0)),
                 pl.BlockSpec((T, L, self.I), lambda i: (i, 0, 0)),
                 pl.BlockSpec((T, L), lambda i: (i, 0)),
                 pl.BlockSpec((self.U, self.I, self.I), lambda i: (0, 0, 0)),
@@ -197,11 +196,11 @@ class PallasNFA:
                 pl.BlockSpec((self.I,), lambda i: (0,)),
                 pl.BlockSpec((1,), lambda i: (0,)),
             ],
-            out_specs=pl.BlockSpec((T,), lambda i: (i,)),
+            out_specs=pl.BlockSpec((1, T), lambda i: (i, 0)),
             interpret=use_interpret_mode(),
         )(
             chars.astype(jnp.int32),
-            lengths.astype(jnp.int32),
+            lengths.astype(jnp.int32).reshape(NP // T, T),
             memb,
             alnum,
             self.closure,
@@ -213,4 +212,4 @@ class PallasNFA:
             self.args,
             jnp.asarray([1 if anchored else 0], jnp.int32),
         )
-        return out[:N] > 0
+        return out.reshape(NP)[:N] > 0
