@@ -190,7 +190,7 @@ def cumsum0(sizes: jax.Array) -> jax.Array:
 
 # implementation selector: scatter-add+cumsum vs vectorized binary search;
 # flipped based on measured TPU lowering costs (see BASELINE.md notes)
-ROW_IDS_IMPL = "searchsorted"
+ROW_IDS_IMPL = "scatter"  # measured faster inside fused programs on TPU
 
 
 def row_ids_from_offsets(offsets: jax.Array, capacity: int) -> jax.Array:

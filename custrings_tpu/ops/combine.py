@@ -20,9 +20,14 @@ from functools import lru_cache
 
 @lru_cache(maxsize=1024)
 def _bytes_arr_cached(b: bytes):
-    return jnp.asarray(np.frombuffer(b, dtype=np.uint8)) if b else jnp.zeros(
-        0, jnp.uint8
-    )
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        return (
+            jnp.asarray(np.frombuffer(b, dtype=np.uint8))
+            if b
+            else jnp.zeros(0, jnp.uint8)
+        )
 
 
 def _bytes_arr(s: str | None):

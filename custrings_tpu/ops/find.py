@@ -31,8 +31,10 @@ from functools import lru_cache
 @lru_cache(maxsize=4096)
 def _pat_array_cached(b: bytes) -> jax.Array:
     # constant uploads through the device transport are NOT free in this
-    # environment (relay round trip per host->device transfer); cache them
-    return jnp.asarray(np.frombuffer(b, dtype=np.uint8))
+    # environment (relay round trip per host->device transfer); cache them.
+    # ensure_compile_time_eval: first call may happen inside a jit trace
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(np.frombuffer(b, dtype=np.uint8))
 
 
 def _pat_array(pat: str | bytes) -> jax.Array:

@@ -187,6 +187,20 @@ def _replace_write_gather(col: StringColumn, plan, r, m: int, rl: int, bcap: int
     return data, out_offsets
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _replace_full(col, p, r, m: int, rl: int, bordered: bool, n: int, bcap: int):
+    """Single fused program: plan + write (keeps all intermediates inside
+    one XLA program — cross-program buffers are costly on the relay)."""
+    plan = _replace_plan(col, p, m, bordered, n)
+    return _replace_write(col, plan, r, m, rl, bcap)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _replace_count(col, p, m: int, bordered: bool, n: int):
+    plan = _replace_plan(col, p, m, bordered, n)
+    return col.offsets[-1] + jnp.sum(plan[4])
+
+
 def replace_literal(
     col: StringColumn, pat, repl, n: int = -1
 ) -> StringColumn:
@@ -197,20 +211,20 @@ def replace_literal(
         return col
     p = _pat_array(pat_b)
     r = _pat_array(repl_b) if rl else _pat_array(b"\x00")[:0]
-    plan = _replace_plan(col, p, m, _has_border(pat_b), n)
-    picks_per_row = plan[4]
+    bordered = _has_border(pat_b)
     from ..column import BOUND_SYNC_THRESHOLD
 
     if rl <= m and col.capacity <= BOUND_SYNC_THRESHOLD:
         # output can only shrink: allocate at input capacity, skip the sync
         bcap = col.capacity
     else:
-        nbytes, npicks = jax.device_get(
-            (col.offsets[-1], jnp.sum(picks_per_row))
-        )
-        total = int(nbytes) + int(npicks) * (rl - m)
-        bcap = bucket_bytes(total)
-    data, out_offsets = _replace_write(col, plan, r, m, rl, bcap)
+        # size program returns nbytes + npicks folded to one scalar bound
+        est = int(_replace_count(col, p, m, bordered, n))
+        # est = nbytes + npicks; reconstruct exact total bound
+        nbytes = int(col.offsets[-1])
+        npicks = est - nbytes
+        bcap = bucket_bytes(nbytes + npicks * max(rl - m, 0) + 1)
+    data, out_offsets = _replace_full(col, p, r, m, rl, bordered, n, bcap)
     return StringColumn(data, out_offsets, col.validity)
 
 

@@ -41,7 +41,8 @@ from functools import lru_cache
 def _fill_info(fillchar: str | None):
     ch = fillchar if fillchar else " "
     b = ch.encode("utf-8")
-    return jnp.asarray(list(b), jnp.uint8), len(b)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(list(b), jnp.uint8), len(b)
 
 
 def _pad_body(col: StringColumn, width, fill, fb: int, side: str):

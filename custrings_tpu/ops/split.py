@@ -105,31 +105,51 @@ def _ragged_write(col, starts, byte_off, bcap):
     return materialize_bytes(byte_off, bcap, produce)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _ragged_full(col, body_fn, static_args, tcap, bcap, *args):
+    """Fused extents + write: ONE program, intermediates stay internal
+    (cross-program buffers are costly on the relay transport)."""
+    counts, starts, ends = body_fn(col, tcap, *static_args, *args)
+    tok_off = cumsum0(counts)
+    tvalid = jnp.arange(tcap, dtype=jnp.int32) < tok_off[-1]
+    sizes = jnp.where(tvalid, ends - starts, 0)
+    byte_off = cumsum0(sizes)
+    from ..column import materialize_bytes
+
+    def produce(trows, k, valid):
+        return layout.gather_bytes(col.data, starts[trows] + k)
+
+    data = materialize_bytes(byte_off, bcap, produce)
+    return data, tok_off, byte_off
+
+
 def run_ragged(body_fn, col, *args, static_args=()) -> TokenColumn:
     from ..column import BOUND_SYNC_THRESHOLD
 
     # token count is bounded by bytes + rows (every token needs either a
     # byte or an empty row); token bytes are bounded by input bytes.  Under
-    # the threshold, skip BOTH size syncs and allocate the bounds.
+    # the threshold, skip BOTH size syncs, allocate the bounds, and run
+    # extents + write as ONE fused program.
     tok_bound = col.capacity + col.size
-    if tok_bound * 8 <= BOUND_SYNC_THRESHOLD:
-        total_tokens = None
+    if (
+        tok_bound * 8 <= BOUND_SYNC_THRESHOLD
+        and col.capacity <= BOUND_SYNC_THRESHOLD
+    ):
         tcap = bucket_bytes(tok_bound)
+        bcap = col.capacity
+        data, tok_off, byte_off = _ragged_full(
+            col, body_fn, static_args, tcap, bcap, *args
+        )
+        total_tokens = int(tok_off[-1])  # one sync for logical slicing
     else:
         total_tokens = int(_ragged_counts(col, body_fn, static_args, *args))
         tcap = bucket_bytes(total_tokens)
-    tok_off, starts, byte_off = _ragged_extents(
-        col, body_fn, static_args, tcap, *args
-    )
-    if total_tokens is None and col.capacity <= BOUND_SYNC_THRESHOLD:
-        bcap = col.capacity
-        total_tokens = int(tok_off[-1])  # one sync still needed for slicing
-    else:
-        if total_tokens is None:
-            total_tokens = int(tok_off[-1])
+        tok_off, starts, byte_off = _ragged_extents(
+            col, body_fn, static_args, tcap, *args
+        )
         total_bytes = int(byte_off[-1])
         bcap = bucket_bytes(total_bytes)
-    data = _ragged_write(col, starts, byte_off, bcap)
+        data = _ragged_write(col, starts, byte_off, bcap)
     tokens = StringColumn(
         data,
         byte_off[: total_tokens + 1],
