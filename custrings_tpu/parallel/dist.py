@@ -245,6 +245,42 @@ def distributed_unique_tokens(
     )
 
 
+def distributed_replace(
+    data_sh, offsets_sh, validity_sh, mesh: Mesh, pat: str, repl: str,
+    axis: str = "data",
+):
+    """Row-sharded literal replace (shrinking replacements): the fused
+    sync-free replace program runs shard-local under shard_map — the
+    'categorize + replace' pairing of BASELINE workload #5."""
+    from ..ops.modify import _replace_full, _has_border
+    from ..ops.find import _pat_array
+    from .compat import shard_map
+    from ..column import StringColumn
+
+    pat_b, repl_b = pat.encode(), repl.encode()
+    m, rl = len(pat_b), len(repl_b)
+    if rl > m:
+        raise ValueError("distributed_replace requires len(repl) <= len(pat)")
+    p, r = _pat_array(pat_b), _pat_array(repl_b)
+    bordered = _has_border(pat_b)
+    bcap = int(data_sh.shape[1])
+
+    def body(d, o, v):
+        col = StringColumn(d[0], o[0], v[0])
+        data, out_off = _replace_full(
+            col, p, r, m, rl, bordered, -1, bcap
+        )
+        return data[None], out_off[None]
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    return jax.jit(fn)(data_sh, offsets_sh, validity_sh)
+
+
 def distributed_contains(chars_sh, lens_sh, pattern: str, mesh, axis="data"):
     """Row-sharded regex contains + global match count via psum."""
     from .compat import shard_map

@@ -71,3 +71,20 @@ def test_distributed_unique_tokens():
 
     exp = unique_tokens(col, None)
     assert int(n_unique) == exp.size
+
+
+def test_distributed_replace():
+    strs = ["the quick the", "other theory", None, "no match here"] * 2
+    col = column.from_host_strings(strs)
+    mesh = make_mesh(4)
+    d, o, v, a = dist.shard_column(col, 4)
+    data_sh, off_sh = dist.distributed_replace(d, o, v, mesh, "the", "A")
+    # rebuild shard rows and compare against single-chip op
+    got = []
+    for s in range(4):
+        shard = column.StringColumn(data_sh[s], off_sh[s], v[s])
+        h = column.to_host_strings(shard)
+        alive = np.asarray(jax.device_get(a[s]))
+        got.extend([x for x, al in zip(h, alive) if al])
+    exp = [s.replace("the", "A") if s is not None else None for s in strs]
+    assert got == exp
