@@ -131,6 +131,14 @@ class nvstrings:
     def null_count(self, emptyisnull=False):
         return _col.null_count(self._col, emptyisnull)
 
+    def get_nulls(self, emptyisnull=False):
+        """Indexes of null rows (NVStrings::get_nulls, NVStrings.cu:547)."""
+        nulls = ~np.asarray(jax.device_get(self._col.validity))
+        if emptyisnull:
+            lens = np.asarray(jax.device_get(self._col.lengths()))
+            nulls = nulls | (lens == 0)
+        return np.nonzero(nulls)[0].tolist()
+
     def set_null_bitmask(self, nbuf, bdevmem=False):
         bits = np.unpackbits(
             np.asarray(nbuf).view(np.uint8).ravel(), bitorder="little"
