@@ -18,6 +18,8 @@ def _c(strs):
 
 
 def tokenize(strs, delimiter=None):
+    if isinstance(delimiter, nvstrings):
+        return nvstrings(_tok.tokenize_strings(_c(strs), delimiter._col))
     return nvstrings(_tok.tokenize(_c(strs), delimiter))
 
 

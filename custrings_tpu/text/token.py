@@ -113,6 +113,83 @@ def tokenize(col: StringColumn, delimiter: str | None = None) -> StringColumn:
     return tokenize_record(col, delimiter).tokens
 
 
+def tokenize_strings(col: StringColumn, delims: StringColumn) -> StringColumn:
+    """Multi-STRING-delimiter tokenize (NVText::tokenize(strs, delims),
+    tokens.cu:158): sequential scan takes the first listed delimiter
+    matching at each position and skips its length; empty tokens are
+    dropped from the flattened result."""
+    from ..column import to_host_strings
+    from ..ops.find import _match_mask, _pat_array
+    from ..ops.array import gather_mask
+
+    dstrs = [d for d in to_host_strings(delims) if d]
+    if not dstrs:
+        return tokenize(col)
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    rows = row_ids_from_offsets(col.offsets, cap)
+    row_end = col.offsets[1:][rows]
+    valid_byte = j < col.offsets[-1]
+    first_id = jnp.full(cap, -1, jnp.int32)
+    dlen = jnp.zeros(cap, jnp.int32)
+    for i, d in enumerate(dstrs):
+        db = d.encode("utf-8")
+        m = (
+            _match_mask(col.data, _pat_array(db))
+            & (j + len(db) <= row_end)
+            & valid_byte
+        )
+        hit = m & (first_id < 0)
+        first_id = jnp.where(hit, i, first_id)
+        dlen = jnp.where(hit, len(db), dlen)
+    # greedy sequential skip with variable lengths: cover-state scan
+    maxd = max(len(d.encode("utf-8")) for d in dstrs)
+    if maxd == 1:
+        picked = first_id >= 0
+    else:
+        dom = jnp.arange(maxd, dtype=jnp.int32)
+        T = jnp.where(
+            (dom[None, :] == 0) & (first_id >= 0)[:, None],
+            jnp.maximum(dlen - 1, 0)[:, None],
+            jnp.maximum(dom - 1, 0)[None, :],
+        )
+        comp = jax.lax.associative_scan(
+            lambda a, b: jnp.take_along_axis(b, a, axis=1), T
+        )
+        s_in = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), comp[:-1, 0].astype(jnp.int32)]
+        )
+        picked = (first_id >= 0) & (s_in == 0)
+
+    n = col.size
+    picks_per_row = (
+        jnp.zeros(n, jnp.int32).at[rows].add(picked.astype(jnp.int32))
+    )
+    counts = jnp.where(col.validity, picks_per_row + 1, 0)
+    tok_off = cumsum0(counts)
+    total = int(tok_off[-1])
+    from ..config import bucket_bytes as _bb
+
+    tcap = _bb(total)
+    pk0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+    )
+    rank = pk0[:cap] - pk0[col.offsets[:-1][rows]]
+    tbase = tok_off[:-1][rows]
+    starts = jnp.zeros(tcap + 1, jnp.int32)
+    ends = jnp.zeros(tcap + 1, jnp.int32)
+    first_tok = jnp.where(col.validity, tok_off[:-1], tcap)
+    starts = starts.at[first_tok].set(col.offsets[:-1])
+    starts = starts.at[jnp.where(picked, tbase + rank + 1, tcap)].set(j + dlen)
+    ends = ends.at[jnp.where(picked, tbase + rank, tcap)].set(j)
+    last_tok = jnp.where(col.validity, tok_off[1:] - 1, tcap)
+    ends = ends.at[last_tok].set(col.offsets[1:])
+    tc = _tokens_from_extents(col, tok_off, starts[:tcap], ends[:tcap], total)
+    toks = tc.tokens
+    # drop empty tokens (tokens.cu:remove_if w.second==0)
+    return gather_mask(toks, toks.lengths() > 0)
+
+
 def token_count(col: StringColumn, delimiter: str | None = " ") -> jax.Array:
     """Tokens per row (tokens.cu token_count:337); null rows -> 0."""
     return token_extents(col, delimiter)["counts"]

@@ -169,3 +169,32 @@ def test_searchsorted_keys():
     keys, _ = unique.dictionary_encode(dev(["b", "a", "c", "a"]))
     q = unique.searchsorted_keys(keys, dev(["a", "c", "zz", "b", None]))
     assert list(q) == [0, 2, -1, 1, -1]
+
+
+def test_tokenize_multi_string_delims():
+    # reference semantics (tokens.cu tokenize(strs, delims)): first listed
+    # delimiter wins at a position; its length is skipped; empties dropped
+    def oracle(s, delims):
+        out, cur, i = [], "", 0
+        while i < len(s):
+            for d in delims:
+                if d and s.startswith(d, i):
+                    out.append(cur)
+                    cur = ""
+                    i += len(d)
+                    break
+            else:
+                cur += s[i]
+                i += 1
+        out.append(cur)
+        return [t for t in out if t]
+
+    corpus = ["a--b-c", "x<>y--z", "--", "plain", None, "a<>--b"]
+    delims = ["<>", "--", "-"]
+    col = dev(corpus)
+    got = host(token.tokenize_strings(col, dev(delims)))
+    exp = []
+    for s in corpus:
+        if s is not None:
+            exp.extend(oracle(s, delims))
+    assert got == exp, (got, exp)
