@@ -198,11 +198,20 @@ class nvstrings:
 
     def compare(self, str, devptr=0):
         out = _out(_find.compare(self._col, str), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        if isinstance(devptr, np.ndarray):
+            return out
+        vals = np.asarray(jax.device_get(self._col.validity))
+        return [int(x) if v else None for x, v in zip(out, vals)]
+
+    def _pos_list(self, out, devptr):
+        if isinstance(devptr, np.ndarray):
+            return out
+        # null rows (-2 core convention) -> None in host lists
+        return [None if x == -2 else int(x) for x in out]
 
     def find(self, sub, start=0, end=None, devptr=0):
         out = _out(_find.find(self._col, sub, start, end), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._pos_list(out, devptr)
 
     def index(self, sub, start=0, end=None, devptr=0):
         out = self.find(sub, start, end, devptr)
@@ -220,18 +229,22 @@ class nvstrings:
 
     def rfind(self, sub, start=0, end=None, devptr=0):
         out = _out(_find.rfind(self._col, sub, start, end), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._pos_list(out, devptr)
 
     def find_from(self, sub, starts=0, ends=0, devptr=0):
         s = None if isinstance(starts, int) and starts == 0 else starts
         e = None if isinstance(ends, int) and ends == 0 else ends
         out = _out(_find.find_from(self._col, sub, s, e), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._pos_list(out, devptr)
 
     def find_multiple(self, strs, devptr=0):
         other = strs._col if isinstance(strs, nvstrings) else to_device(strs)._col
         out = _out(_find.find_multiple(self._col, other), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        if isinstance(devptr, np.ndarray):
+            return out
+        return [
+            [None if x == -2 else int(x) for x in row] for row in out
+        ]
 
     def contains(self, pat, regex=True, devptr=0):
         if regex:

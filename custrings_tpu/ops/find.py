@@ -177,8 +177,13 @@ def _compare_impl(col: StringColumn, p) -> jax.Array:
     for t in range(m):
         b = col.data[jnp.clip(starts + t, 0, cap)].astype(jnp.int32)
         in_row = t < lens
+        # row exhausted before pattern: shorter sorts first, result -1
+        # (custr::compare, custring.inl: prefix-equal -> +-1)
+        exh = (~in_row) & (~decided)
+        result = jnp.where(exh, -1, result)
+        decided = decided | exh
         pt = p[t].astype(jnp.int32)
-        diff = jnp.where(in_row, b - pt, -pt)
+        diff = b - pt
         hit = (~decided) & (diff != 0)
         result = jnp.where(hit, diff, result)
         decided = decided | hit

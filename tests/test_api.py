@@ -303,3 +303,21 @@ def test_scalar_scatter():
     s = nvstrings.to_device(["a", "b", "c", "d"])
     got = s.scalar_scatter("X", [1, 3])
     assert got.to_host() == ["a", "X", "c", "X"]
+
+
+def test_compare_reference_vector():
+    s = nvstrings.to_device(["hello", "there", "world", "accéntéd", None,
+                             ""])
+    assert s.compare("there") == [-12, 0, 3, -19, None, -1]
+
+
+def test_find_reference_vectors():
+    s = nvstrings.to_device(["hello", "there", "world", "accéntéd", None,
+                             ""])
+    assert s.find("o") == [4, -1, 1, -1, None, -1]
+    assert s.find_from("r") == [-1, 3, 2, -1, None, -1]
+    assert s.rfind("d") == [-1, -1, 4, 7, None, -1]
+    assert s.find_multiple(["e", "o", "d"]) == [
+        [1, 4, -1], [2, -1, -1], [-1, 1, 4], [-1, -1, 7],
+        [None, None, None], [-1, -1, -1],
+    ]
