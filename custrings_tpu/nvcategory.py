@@ -32,6 +32,12 @@ class nvcategory:
     def keys_type(self):
         return "str"
 
+    def has_nulls(self):
+        """True when the keyset contains the null key (NVCategory.h)."""
+        import jax as _jax
+
+        return bool((~np.asarray(_jax.device_get(self._cat.keys.validity))).any())
+
     def indexes_for_key(self, key, devptr=0):
         idx = np.asarray(jax.device_get(_cat.indexes_for_key(self._cat, key)))
         if isinstance(devptr, np.ndarray):
