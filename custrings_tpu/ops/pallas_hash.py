@@ -22,9 +22,12 @@ ROW_TILE = 256
 
 
 def _hash_kernel(blocks_ref, lens_ref, tailk1_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
     blocks = blocks_ref[:]  # [T, NB] uint32
-    lens = lens_ref[0, :]  # [T]
-    tail_k1 = tailk1_ref[0, :]  # [T] uint32 (pre-combined tail bytes)
+    lens = lens_ref[i, :]  # full [G, T] block; row i = this tile
+    tail_k1 = tailk1_ref[i, :]
     T, NB = blocks.shape
     c1 = jnp.uint32(0xCC9E2D51)
     c2 = jnp.uint32(0x1B873593)
@@ -56,7 +59,7 @@ def _hash_kernel(blocks_ref, lens_ref, tailk1_ref, out_ref):
     h1 = h1 ^ (h1 >> 13)
     h1 = h1 * jnp.uint32(0xC2B2AE35)
     h1 = h1 ^ (h1 >> 16)
-    out_ref[0, :] = h1
+    out_ref[i, :] = h1
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -99,10 +102,10 @@ def hash_rows_pallas(view_u32, lens, _unused, interpret: bool):
         grid=grid,
         in_specs=[
             pl.BlockSpec((T, NB), lambda i: (i, 0)),
-            pl.BlockSpec((1, T), lambda i: (i, 0)),
-            pl.BlockSpec((1, T), lambda i: (i, 0)),
+            pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
+            pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
         interpret=interpret,
     )(
         blocks,

@@ -31,7 +31,7 @@ ROW_TILE = 256
 def _kernel_factory(U, I, nctx_vary):
     def kernel(
         chars_ref,  # [T, L] int32
-        lens2_ref,  # [1, T] int32
+        lens2_ref,  # [G, T] int32 (full; row = program_id)
         memb_ref,  # [T, L, I] int8: per-position per-inst class pred
         alnum_ref,  # [T, L] int8
         closure_ref,  # [U, I, I] f32
@@ -44,8 +44,11 @@ def _kernel_factory(U, I, nctx_vary):
         anchored_ref,  # [1] int32
         out_ref,  # [1, T] int8
     ):
+        from jax.experimental import pallas as pl
+
+        gi = pl.program_id(0)
         T, L = chars_ref.shape
-        lens_v = lens2_ref[0, :]
+        lens_v = lens2_ref[gi, :]
         types = types_ref[:]
         args = args_ref[:]
         is_char = (types == CHAR).astype(jnp.float32)
@@ -121,7 +124,7 @@ def _kernel_factory(U, I, nctx_vary):
         state0 = jnp.zeros((T, I), jnp.float32)
         matched0 = jnp.zeros((T,), jnp.float32)
         _, matched = jax.lax.fori_loop(0, L + 1, step, (state0, matched0))
-        out_ref[0, :] = (matched > 0.5).astype(jnp.int8)
+        out_ref[gi, :] = (matched > 0.5).astype(jnp.int8)
 
     return kernel
 
@@ -184,7 +187,7 @@ class PallasNFA:
             grid=(NP // T,),
             in_specs=[
                 pl.BlockSpec((T, L), lambda i: (i, 0)),
-                pl.BlockSpec((1, T), lambda i: (i, 0)),
+                pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
                 pl.BlockSpec((T, L, self.I), lambda i: (i, 0, 0)),
                 pl.BlockSpec((T, L), lambda i: (i, 0)),
                 pl.BlockSpec((self.U, self.I, self.I), lambda i: (0, 0, 0)),
@@ -196,7 +199,7 @@ class PallasNFA:
                 pl.BlockSpec((self.I,), lambda i: (0,)),
                 pl.BlockSpec((1,), lambda i: (0,)),
             ],
-            out_specs=pl.BlockSpec((1, T), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
             interpret=use_interpret_mode(),
         )(
             chars.astype(jnp.int32),
