@@ -24,11 +24,10 @@ ROW_TILE = 256
 def _hash_kernel(blocks_ref, lens_ref, tailk1_ref, out_ref):
     from jax.experimental import pallas as pl
 
-    i = pl.program_id(0)
-    blocks = blocks_ref[:]  # [T, NB] uint32
-    lens = lens_ref[i, :]  # full [G, T] block; row i = this tile
-    tail_k1 = tailk1_ref[i, :]
-    T, NB = blocks.shape
+    gi = pl.program_id(0)
+    T, NB = blocks_ref.shape
+    lens = lens_ref[pl.ds(gi, 1), :][0, :]  # [T]
+    tail_k1 = tailk1_ref[pl.ds(gi, 1), :][0, :]
     c1 = jnp.uint32(0xCC9E2D51)
     c2 = jnp.uint32(0x1B873593)
 
@@ -38,7 +37,7 @@ def _hash_kernel(blocks_ref, lens_ref, tailk1_ref, out_ref):
     row_blocks = lens // 4
 
     def body(i, h1):
-        k1 = blocks[:, i]
+        k1 = blocks_ref[:, pl.ds(i, 1)][:, 0]  # dynamic ref slice
         k1 = k1 * c1
         k1 = rotl(k1, 15)
         k1 = k1 * c2
@@ -59,7 +58,7 @@ def _hash_kernel(blocks_ref, lens_ref, tailk1_ref, out_ref):
     h1 = h1 ^ (h1 >> 13)
     h1 = h1 * jnp.uint32(0xC2B2AE35)
     h1 = h1 ^ (h1 >> 16)
-    out_ref[i, :] = h1
+    out_ref[pl.ds(gi, 1), :] = h1[None, :]
 
 
 @partial(jax.jit, static_argnums=(3,))

@@ -6,12 +6,13 @@ whole automaton in VMEM for a row tile and drives every transition through
 the MXU:
 
     closed = state @ closure[u]          (eps-closure reachability)
-    pred   = char-compare + membership @ onehot(class ids)
+    pred   = char-compare + precomputed class membership
     state' = (closed * pred) @ next_mat  (consume edges)
 
-Char-class membership and word-char flags are precomputed OUTSIDE the
-kernel (tiny gathers XLA already does well), so the kernel body is pure
-matmul/elementwise — no dynamic gathers in Mosaic.
+Char-class membership, word-char flags, and the per-position closure-
+variant id are precomputed OUTSIDE the kernel (tiny gathers XLA already
+does well), so the kernel body is pure matmul/elementwise — no dynamic
+gathers in Mosaic; dynamic positions use pl.ds ref slices.
 """
 
 from __future__ import annotations
@@ -28,27 +29,26 @@ from .compiler import ANY, ANYNL, CCLASS, CHAR, NCCLASS
 ROW_TILE = 256
 
 
-def _kernel_factory(U, I, nctx_vary):
+def _kernel_factory(U, I):
     def kernel(
         chars_ref,  # [T, L] int32
         lens2_ref,  # [G, T] int32 (full; row = program_id)
         memb_ref,  # [T, L, I] int8: per-position per-inst class pred
-        alnum_ref,  # [T, L] int8
+        uid_ref,  # [T, L+1] int8: closure-variant id per position
         closure_ref,  # [U, I, I] f32
-        ctxmap_ref,  # [32] int32
         next_ref,  # [I, I] f32
         isend_ref,  # [I] f32
         start_ref,  # [I] f32
         types_ref,  # [I] int32
         args_ref,  # [I] int32
         anchored_ref,  # [1] int32
-        out_ref,  # [1, T] int8
+        out_ref,  # [G, T] int8
     ):
         from jax.experimental import pallas as pl
 
         gi = pl.program_id(0)
         T, L = chars_ref.shape
-        lens_v = lens2_ref[gi, :]
+        lens_v = lens2_ref[pl.ds(gi, 1), :][0, :]
         types = types_ref[:]
         args = args_ref[:]
         is_char = (types == CHAR).astype(jnp.float32)
@@ -59,33 +59,18 @@ def _kernel_factory(U, I, nctx_vary):
 
         def step(p, carry):
             state, matched = carry  # [T, I] f32, [T] f32
-            cur = jnp.where(p < lens_v, chars_ref[:, p], 0)  # [T]
-            prev = jnp.where(
-                (p > 0) & (p - 1 < lens_v),
-                chars_ref[:, jnp.maximum(p - 1, 0)],
-                0,
-            )
+            cur = jnp.where(
+                p < lens_v, chars_ref[:, pl.ds(p, 1)][:, 0], 0
+            )  # [T]
             inject = jnp.where(
                 anchored > 0,
                 ((p == 0) & (matched < 0.5)).astype(jnp.float32),
                 (matched < 0.5).astype(jnp.float32),
             )
-            state = jnp.maximum(state, start_ref[:][None, :] * inject[:, None])
-            # context bits
-            al_cur = jnp.where(p < lens_v, alnum_ref[:, p], 0)
-            al_prev = jnp.where(
-                (p > 0) & (p - 1 < lens_v),
-                alnum_ref[:, jnp.maximum(p - 1, 0)],
-                0,
+            state = jnp.maximum(
+                state, start_ref[:][None, :] * inject[:, None]
             )
-            ctx = (
-                (p == 0).astype(jnp.int32) * 1
-                + (prev == 10).astype(jnp.int32) * 2
-                + (cur == 0).astype(jnp.int32) * 4
-                + (cur == 10).astype(jnp.int32) * 8
-                + (al_cur != al_prev).astype(jnp.int32) * 16
-            )
-            uid = ctxmap_ref[ctx]  # [T]
+            uid = uid_ref[:, pl.ds(p, 1)][:, 0]  # [T]
             if U == 1:
                 closed = jnp.dot(
                     state, closure_ref[0], preferred_element_type=jnp.float32
@@ -106,17 +91,19 @@ def _kernel_factory(U, I, nctx_vary):
             )
             # char predicate [T, I]
             curE = cur[:, None]
+            memb_p = memb_ref[:, pl.ds(p, 1), :][:, 0, :]
             pred = (
                 is_char[None, :] * (curE == args[None, :])
                 + is_any[None, :] * ((curE != 10) & (curE != 0))
                 + is_anynl[None, :] * (curE != 0)
-                + is_cc[None, :]
-                * memb_ref[:, p, :].astype(jnp.float32)
+                + is_cc[None, :] * memb_p.astype(jnp.float32)
             )
             pred = pred * (curE != 0)
             fire = closed * pred
             state = jnp.minimum(
-                jnp.dot(fire, next_ref[:], preferred_element_type=jnp.float32),
+                jnp.dot(
+                    fire, next_ref[:], preferred_element_type=jnp.float32
+                ),
                 1.0,
             )
             return state, matched
@@ -124,7 +111,7 @@ def _kernel_factory(U, I, nctx_vary):
         state0 = jnp.zeros((T, I), jnp.float32)
         matched0 = jnp.zeros((T,), jnp.float32)
         _, matched = jax.lax.fori_loop(0, L + 1, step, (state0, matched0))
-        out_ref[gi, :] = (matched > 0.5).astype(jnp.int8)
+        out_ref[pl.ds(gi, 1), :] = (matched > 0.5).astype(jnp.int8)[None, :]
 
     return kernel
 
@@ -168,19 +155,37 @@ class PallasNFA:
         memb = in_class[..., self.cls_of_inst]  # [NP, L, I]
         memb = jnp.where(self.is_ncc[None, None, :], ~memb, memb)
         memb = memb.astype(jnp.int8)
-        flags, _ = __import__(
-            "custrings_tpu.unicode.tables", fromlist=["device_tables"]
-        ).device_tables()
-        from ..unicode.tables import FLAG_ALPHANUM
+        # precompute the closure-variant id per (row, position incl. the
+        # EOS sentinel position L)
+        from ..unicode.tables import FLAG_ALPHANUM, device_tables
 
+        flags, _ = device_tables()
         safe = jnp.clip(chars, 0, flags.shape[0] - 1)
         alnum = (
             (chars > 0)
             & (chars < flags.shape[0])
             & ((flags[safe].astype(jnp.int32) & FLAG_ALPHANUM) > 0)
-        ).astype(jnp.int8)
+        ).astype(jnp.int32)
+        pos = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+        lensE = lengths[:, None]
+        curc = jnp.pad(chars, ((0, 0), (0, 1)))
+        curc = jnp.where(pos < lensE, curc, 0)
+        prevc = jnp.pad(chars, ((0, 0), (1, 0)))[:, : L + 1]
+        prevc = jnp.where((pos > 0) & (pos - 1 < lensE), prevc, 0)
+        al_cur = jnp.pad(alnum, ((0, 0), (0, 1)))
+        al_cur = jnp.where(pos < lensE, al_cur, 0)
+        al_prev = jnp.pad(alnum, ((0, 0), (1, 0)))[:, : L + 1]
+        al_prev = jnp.where((pos > 0) & (pos - 1 < lensE), al_prev, 0)
+        ctx = (
+            (pos == 0).astype(jnp.int32) * 1
+            + (prevc == 10).astype(jnp.int32) * 2
+            + (curc == 0).astype(jnp.int32) * 4
+            + (curc == 10).astype(jnp.int32) * 8
+            + (al_cur != al_prev).astype(jnp.int32) * 16
+        )
+        uid = self.ctx_map[ctx].astype(jnp.int8)  # [NP, L+1]
 
-        kernel = _kernel_factory(self.U, self.I, None)
+        kernel = _kernel_factory(self.U, self.I)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int8),
@@ -189,9 +194,8 @@ class PallasNFA:
                 pl.BlockSpec((T, L), lambda i: (i, 0)),
                 pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
                 pl.BlockSpec((T, L, self.I), lambda i: (i, 0, 0)),
-                pl.BlockSpec((T, L), lambda i: (i, 0)),
+                pl.BlockSpec((T, L + 1), lambda i: (i, 0)),
                 pl.BlockSpec((self.U, self.I, self.I), lambda i: (0, 0, 0)),
-                pl.BlockSpec((32,), lambda i: (0,)),
                 pl.BlockSpec((self.I, self.I), lambda i: (0, 0)),
                 pl.BlockSpec((self.I,), lambda i: (0,)),
                 pl.BlockSpec((self.I,), lambda i: (0,)),
@@ -205,9 +209,8 @@ class PallasNFA:
             chars.astype(jnp.int32),
             lengths.astype(jnp.int32).reshape(NP // T, T),
             memb,
-            alnum,
+            uid,
             self.closure,
-            self.ctx_map,
             self.next_mat,
             self.is_end,
             self.start_vec,
