@@ -35,18 +35,25 @@ def _hash_kernel(blocks_ref, lens_ref, tailk1_ref, out_ref):
         return (x << r) | (x >> (32 - r))
 
     row_blocks = lens // 4
+    from jax.experimental.pallas import tpu as pltpu
 
-    def body(i, h1):
-        k1 = blocks_ref[:, pl.ds(i, 1)][:, 0]  # dynamic ref slice
+    def body(i, carry):
+        h1, blocks = carry
+        # dynamic lane-dim slicing is not allowed in Mosaic: rotate the
+        # block matrix instead and always read static column 0
+        k1 = blocks[:, 0]
         k1 = k1 * c1
         k1 = rotl(k1, 15)
         k1 = k1 * c2
         h = h1 ^ k1
         h = rotl(h, 13)
         h = h * jnp.uint32(5) + jnp.uint32(0xE6546B64)
-        return jnp.where(i < row_blocks, h, h1)
+        h1 = jnp.where(i < row_blocks, h, h1)
+        return h1, pltpu.roll(blocks, NB - 1, 1)
 
-    h1 = jax.lax.fori_loop(0, NB, body, jnp.full((T,), 31, jnp.uint32))
+    h1, _ = jax.lax.fori_loop(
+        0, NB, body, (jnp.full((T,), 31, jnp.uint32), blocks_ref[:])
+    )
     rem = lens & 3
     k1 = tail_k1 * c1
     k1 = rotl(k1, 15)
@@ -67,6 +74,8 @@ def hash_rows_pallas(view_u32, lens, _unused, interpret: bool):
     from jax.experimental import pallas as pl
 
     N, W = view_u32.shape
+    if N == 0:
+        return jnp.zeros((0,), jnp.uint32)
     T = ROW_TILE
     pad = (-N) % T
     if pad:

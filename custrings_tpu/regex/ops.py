@@ -33,10 +33,12 @@ def _get_pallas_nfa(pattern: str):
     return PallasNFA(get_program(pattern))
 
 
-def _use_pallas_nfa() -> bool:
+def _use_pallas_nfa(pattern: str) -> bool:
     import os
 
-    return os.environ.get("CUSTRINGS_PALLAS_NFA", "0") == "1"
+    if os.environ.get("CUSTRINGS_PALLAS_NFA", "0") != "1":
+        return False
+    return get_program(pattern).I <= 32  # kernel bit-packs memb to uint32
 
 
 def _mats(col: StringColumn):
@@ -46,7 +48,7 @@ def _mats(col: StringColumn):
 def contains_re(col: StringColumn, pattern: str) -> jax.Array:
     """bool[rows] (count.cu contains_re:59); null rows -> False."""
     chars, nch = _mats(col)
-    if _use_pallas_nfa():
+    if _use_pallas_nfa(pattern):
         return _get_pallas_nfa(pattern).matches(chars, nch, False) & col.validity
     dp = get_program(pattern)
     return dp.nfa_matches(chars, nch, False) & col.validity
@@ -55,7 +57,7 @@ def contains_re(col: StringColumn, pattern: str) -> jax.Array:
 def match_re(col: StringColumn, pattern: str) -> jax.Array:
     """Anchored-at-0 match (count.cu match:113)."""
     chars, nch = _mats(col)
-    if _use_pallas_nfa():
+    if _use_pallas_nfa(pattern):
         return _get_pallas_nfa(pattern).matches(chars, nch, True) & col.validity
     dp = get_program(pattern)
     return dp.nfa_matches(chars, nch, True) & col.validity

@@ -27,76 +27,87 @@ from ..config import use_interpret_mode
 from .compiler import ANY, ANYNL, CCLASS, CHAR, NCCLASS
 
 ROW_TILE = 256
+INST_PAD = 128  # pad the instruction dim to the full lane width: small
+# (non-128-multiple) minor dims crash Mosaic layout inference, and padded
+# matmuls tile cleanly onto the MXU anyway
 
 
-def _kernel_factory(U, I):
+def _kernel_factory(U, I, anchored):
+    PI = INST_PAD
+
     def kernel(
         chars_ref,  # [T, L] int32
         lens2_ref,  # [G, T] int32 (full; row = program_id)
-        memb_ref,  # [T, L, I] int8: per-position per-inst class pred
-        uid_ref,  # [T, L+1] int8: closure-variant id per position
-        closure_ref,  # [U, I, I] f32
-        next_ref,  # [I, I] f32
-        isend_ref,  # [I] f32
-        start_ref,  # [I] f32
-        types_ref,  # [I] int32
-        args_ref,  # [I] int32
-        anchored_ref,  # [1] int32
-        out_ref,  # [G, T] int8
+        memb_ref,  # [T, L] uint32: per-position class-pred bitmask (bit i
+        #            = inst i matches); Mosaic can only roll 32-bit data
+        uid_ref,  # [T, L+1] int32: closure-variant id per position
+        closure_ref,  # [U*PI, PI] f32 (rank-3 flattened; static row slices)
+        next_ref,  # [PI, PI] f32
+        isend_ref,  # [1, PI] f32
+        start_ref,  # [1, PI] f32
+        types_ref,  # [1, PI] int32 (padded lanes hold -1 = no type)
+        args_ref,  # [1, PI] int32
+        out_ref,  # [G, T] int32
     ):
         from jax.experimental import pallas as pl
 
         gi = pl.program_id(0)
         T, L = chars_ref.shape
         lens_v = lens2_ref[pl.ds(gi, 1), :][0, :]
-        types = types_ref[:]
+        types = types_ref[:]  # [1, PI]
         args = args_ref[:]
         is_char = (types == CHAR).astype(jnp.float32)
         is_any = (types == ANY).astype(jnp.float32)
         is_anynl = (types == ANYNL).astype(jnp.float32)
         is_cc = ((types == CCLASS) | (types == NCCLASS)).astype(jnp.float32)
-        anchored = anchored_ref[0]
+
+        from jax.experimental.pallas import tpu as pltpu
 
         def step(p, carry):
-            state, matched = carry  # [T, I] f32, [T] f32
-            cur = jnp.where(
-                p < lens_v, chars_ref[:, pl.ds(p, 1)][:, 0], 0
-            )  # [T]
-            inject = jnp.where(
-                anchored > 0,
-                ((p == 0) & (matched < 0.5)).astype(jnp.float32),
-                (matched < 0.5).astype(jnp.float32),
-            )
-            state = jnp.maximum(
-                state, start_ref[:][None, :] * inject[:, None]
-            )
-            uid = uid_ref[:, pl.ds(p, 1)][:, 0]  # [T]
+            # rotating buffers: read static column 0, then roll axis 1
+            state, matched, chars_v, memb_v, uid_v = carry
+            cur = jnp.where(p < lens_v, chars_v[:, 0], 0)  # [T]
+            if anchored:
+                inject = ((p == 0) & (matched < 0.5)).astype(jnp.float32)
+            else:
+                inject = (matched < 0.5).astype(jnp.float32)
+            state = jnp.maximum(state, start_ref[:] * inject[:, None])
+            uid = uid_v[:, 0]  # [T]
             if U == 1:
                 closed = jnp.dot(
-                    state, closure_ref[0], preferred_element_type=jnp.float32
+                    state,
+                    closure_ref[0:PI, :],
+                    preferred_element_type=jnp.float32,
                 )
             else:
                 closed = jnp.zeros_like(state)
                 for u in range(U):
                     cu = jnp.dot(
                         state,
-                        closure_ref[u],
+                        closure_ref[u * PI : (u + 1) * PI, :],
                         preferred_element_type=jnp.float32,
                     )
                     closed = jnp.where((uid == u)[:, None], cu, closed)
             closed = jnp.minimum(closed, 1.0)
             matched = jnp.maximum(
                 matched,
-                jnp.max(closed * isend_ref[:][None, :], axis=1),
+                jnp.max(closed * isend_ref[:], axis=1),
             )
-            # char predicate [T, I]
+            # char predicate [T, PI]; unpack the membership bitmask word
+            # (bits beyond I are zero by construction: shift is clamped and
+            # the padded type lanes are -1 so no predicate term fires)
             curE = cur[:, None]
-            memb_p = memb_ref[:, pl.ds(p, 1), :][:, 0, :]
+            bit_i = jax.lax.broadcasted_iota(jnp.int32, (1, PI), 1)
+            shift = jnp.minimum(bit_i, 31).astype(jnp.uint32)
+            memb_p = (
+                (memb_v[:, 0][:, None] >> shift) & jnp.uint32(1)
+            ).astype(jnp.int32)  # Mosaic has no uint32->f32 cast
+            memb_p = jnp.where(bit_i < I, memb_p, 0)
             pred = (
-                is_char[None, :] * (curE == args[None, :])
-                + is_any[None, :] * ((curE != 10) & (curE != 0))
-                + is_anynl[None, :] * (curE != 0)
-                + is_cc[None, :] * memb_p.astype(jnp.float32)
+                is_char * (curE == args)
+                + is_any * ((curE != 10) & (curE != 0))
+                + is_anynl * (curE != 0)
+                + is_cc * memb_p.astype(jnp.float32)
             )
             pred = pred * (curE != 0)
             fire = closed * pred
@@ -106,12 +117,19 @@ def _kernel_factory(U, I):
                 ),
                 1.0,
             )
-            return state, matched
+            return (
+                state,
+                matched,
+                pltpu.roll(chars_v, chars_v.shape[1] - 1, 1),
+                pltpu.roll(memb_v, memb_v.shape[1] - 1, 1),
+                pltpu.roll(uid_v, uid_v.shape[1] - 1, 1),
+            )
 
-        state0 = jnp.zeros((T, I), jnp.float32)
+        state0 = jnp.zeros((T, PI), jnp.float32)
         matched0 = jnp.zeros((T,), jnp.float32)
-        _, matched = jax.lax.fori_loop(0, L + 1, step, (state0, matched0))
-        out_ref[pl.ds(gi, 1), :] = (matched > 0.5).astype(jnp.int8)[None, :]
+        init = (state0, matched0, chars_ref[:], memb_ref[:], uid_ref[:])
+        _, matched, *_ = jax.lax.fori_loop(0, L + 1, step, init)
+        out_ref[pl.ds(gi, 1), :] = (matched > 0.5).astype(jnp.int32)[None, :]
 
     return kernel
 
@@ -120,6 +138,11 @@ class PallasNFA:
     """Per-DeviceProgram Pallas matcher."""
 
     def __init__(self, dp):
+        if dp.I > 32:
+            raise ValueError(
+                "PallasNFA bit-packs class membership into uint32 words: "
+                "programs with >32 instructions use the XLA engine"
+            )
         self.dp = dp
         prog = dp.prog
         self.I = dp.I
@@ -144,17 +167,21 @@ class PallasNFA:
         from jax.experimental import pallas as pl
 
         N, L = chars.shape
+        if N == 0:
+            return jnp.zeros((0,), jnp.bool_)
         T = ROW_TILE
         pad = (-N) % T
         if pad:
             chars = jnp.pad(chars, ((0, pad), (0, 0)))
             lengths = jnp.pad(lengths, (0, pad))
         NP = N + pad
-        # precompute per-position per-inst class predicate [NP, L, I] int8
+        # precompute per-position per-inst class predicate, bit-packed to a
+        # uint32 word per position (I <= 32; Mosaic only rolls 32-bit data)
         in_class = self.dp._class_membership(chars)  # [NP, L, n_classes]
         memb = in_class[..., self.cls_of_inst]  # [NP, L, I]
         memb = jnp.where(self.is_ncc[None, None, :], ~memb, memb)
-        memb = memb.astype(jnp.int8)
+        bit = jnp.arange(self.I, dtype=jnp.uint32)[None, None, :]
+        membw = jnp.sum(memb.astype(jnp.uint32) << bit, axis=-1)
         # precompute the closure-variant id per (row, position incl. the
         # EOS sentinel position L)
         from ..unicode.tables import FLAG_ALPHANUM, device_tables
@@ -183,39 +210,42 @@ class PallasNFA:
             + (curc == 10).astype(jnp.int32) * 8
             + (al_cur != al_prev).astype(jnp.int32) * 16
         )
-        uid = self.ctx_map[ctx].astype(jnp.int8)  # [NP, L+1]
+        uid = self.ctx_map[ctx].astype(jnp.int32)  # [NP, L+1]
 
-        kernel = _kernel_factory(self.U, self.I)
+        kernel = _kernel_factory(self.U, self.I, anchored)
+        PI = INST_PAD
+        padI = PI - self.I
+        closure2 = jnp.pad(
+            self.closure, ((0, 0), (0, padI), (0, padI))
+        ).reshape(self.U * PI, PI)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int8),
+            out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int32),
             grid=(NP // T,),
             in_specs=[
                 pl.BlockSpec((T, L), lambda i: (i, 0)),
                 pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
-                pl.BlockSpec((T, L, self.I), lambda i: (i, 0, 0)),
+                pl.BlockSpec((T, L), lambda i: (i, 0)),
                 pl.BlockSpec((T, L + 1), lambda i: (i, 0)),
-                pl.BlockSpec((self.U, self.I, self.I), lambda i: (0, 0, 0)),
-                pl.BlockSpec((self.I, self.I), lambda i: (0, 0)),
-                pl.BlockSpec((self.I,), lambda i: (0,)),
-                pl.BlockSpec((self.I,), lambda i: (0,)),
-                pl.BlockSpec((self.I,), lambda i: (0,)),
-                pl.BlockSpec((self.I,), lambda i: (0,)),
-                pl.BlockSpec((1,), lambda i: (0,)),
+                pl.BlockSpec((self.U * PI, PI), lambda i: (0, 0)),
+                pl.BlockSpec((PI, PI), lambda i: (0, 0)),
+                pl.BlockSpec((1, PI), lambda i: (0, 0)),
+                pl.BlockSpec((1, PI), lambda i: (0, 0)),
+                pl.BlockSpec((1, PI), lambda i: (0, 0)),
+                pl.BlockSpec((1, PI), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
             interpret=use_interpret_mode(),
         )(
             chars.astype(jnp.int32),
             lengths.astype(jnp.int32).reshape(NP // T, T),
-            memb,
+            membw,
             uid,
-            self.closure,
-            self.next_mat,
-            self.is_end,
-            self.start_vec,
-            self.types,
-            self.args,
-            jnp.asarray([1 if anchored else 0], jnp.int32),
+            closure2,
+            jnp.pad(self.next_mat, ((0, padI), (0, padI))),
+            jnp.pad(self.is_end, (0, padI))[None, :],
+            jnp.pad(self.start_vec, (0, padI))[None, :],
+            jnp.pad(self.types, (0, padI), constant_values=-1)[None, :],
+            jnp.pad(self.args, (0, padI), constant_values=-1)[None, :],
         )
         return out.reshape(NP)[:N] > 0
