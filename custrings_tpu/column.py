@@ -244,6 +244,8 @@ def build_column(
     Syncs once to read the total (the reference likewise synchronizes between
     its size pass and write pass, cpp/src/strings/split.cu:163).
     """
+    if sizes.shape[0] == 0:
+        return empty_column(0)
     out_offsets = cumsum0(sizes)
     if capacity is None:
         capacity = bucket_bytes(int(out_offsets[-1]))
@@ -298,6 +300,8 @@ def jit_materialize(body_fn, static_argnums=(), bound_fn=None):
     full_cache: dict = {}
 
     def op(col, *args):
+        if col.size == 0:
+            return empty_column(0)
         capacity = None
         if bound_fn is not None:
             bound = bound_fn(col, *args)

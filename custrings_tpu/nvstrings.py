@@ -321,8 +321,12 @@ class nvstrings:
     # ---------------- combine ----------------
 
     def cat(self, others=None, sep=None, na_rep=None):
+        # others=None joins the whole column into one string
+        # (reference python/tests/test_combine.py:7-23)
         if others is None:
-            raise ValueError("others cannot be None")
+            return nvstrings(
+                _combine.join(self._col, sep or "", na_rep)
+            )
         if isinstance(others, (list, tuple)):
             cur = self
             for o in others:

@@ -138,6 +138,8 @@ def order(
     Comparator parity: nulls always grouped by `nullfirst` regardless of
     direction; stype bit 1 = byte-length, bit 2 = name, length first when both.
     """
+    if col.size == 0:
+        return jnp.zeros((0,), jnp.int32)
     width = layout.max_row_bytes(col)
     width = -(-width // 4) * 4
     return _order_impl(col, width, int(stype), bool(asc), bool(nullfirst))

@@ -71,6 +71,10 @@ def run_charwise(
 
     body_fn(col, *static_args, *args); static_args must be hashable.
     """
+    if col.size == 0:
+        from ..column import empty_column
+
+        return empty_column(0)
     total_chars = int(_phase_counts(col, body_fn, static_args, *args))
     ccap = bucket_bytes(total_chars)
     total_bytes = int(_phase_bytes(col, body_fn, static_args, ccap, *args))
@@ -114,6 +118,10 @@ def build_charwise(
 
 def input_codepoint_gather(col: StringColumn):
     """Helper returning fn(global_char_idx) -> codepoint for `col`."""
+    if col.size == 0:
+        from ..column import empty_column
+
+        return empty_column(0)
     cps = layout.codepoints(col)
 
     def get(idx):

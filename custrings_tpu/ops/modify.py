@@ -207,7 +207,7 @@ def replace_literal(
     pat_b = pat.encode("utf-8") if isinstance(pat, str) else bytes(pat)
     repl_b = (repl or "").encode("utf-8") if not isinstance(repl, bytes) else repl
     m, rl = len(pat_b), len(repl_b)
-    if m == 0:
+    if m == 0 or col.size == 0:
         return col
     p = _pat_array(pat_b)
     r = _pat_array(repl_b) if rl else _pat_array(b"\x00")[:0]
@@ -315,6 +315,8 @@ def translate(col: StringColumn, table) -> StringColumn:
     deletes the character (matches str.translate semantics; the reference
     maps to the given values only).
     """
+    if col.size == 0:
+        return col
     if isinstance(table, dict):
         items = table.items()
     else:

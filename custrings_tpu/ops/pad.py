@@ -136,6 +136,8 @@ def zfill(col: StringColumn, width: int) -> StringColumn:
 def wrap(col: StringColumn, width: int) -> StringColumn:
     """Greedy line-wrap: whitespace -> ' ', break at last space once a line
     exceeds `width` chars (pad.cu wrap:361).  Size-preserving."""
+    if col.size == 0:
+        return col
     w = layout.max_row_bytes(col)
     cm = layout.char_map(col)
     cps = layout.codepoints(col)

@@ -126,6 +126,16 @@ def _ragged_full(col, body_fn, static_args, tcap, bcap, *args):
 def run_ragged(body_fn, col, *args, static_args=()) -> TokenColumn:
     from ..column import BOUND_SYNC_THRESHOLD
 
+    if col.size == 0:
+        from ..column import empty_column
+        import jax.numpy as _jnp
+
+        return TokenColumn(
+            empty_column(0),
+            _jnp.zeros((1,), _jnp.int32),
+            _jnp.zeros((0,), bool),
+        )
+
     # token count is bounded by bytes + rows (every token needs either a
     # byte or an empty row); token bytes are bounded by input bytes.  Under
     # the threshold, skip BOTH size syncs, allocate the bounds, and run

@@ -31,6 +31,8 @@ def _member_mask(col: StringColumn, to_strip: str | None):
 
 
 def _strip_impl(col: StringColumn, to_strip, left: bool, right: bool):
+    if col.size == 0:
+        return col
     starts, stops = _strip_window(col, to_strip, left, right)
     return substr._slice_bytes(col, starts, stops, raw=True)
 

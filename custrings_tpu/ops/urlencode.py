@@ -153,6 +153,8 @@ def _decode_write(col: StringColumn, bcap: int):
 
 
 def url_decode(col: StringColumn) -> StringColumn:
+    if col.size == 0:
+        return col
     out_offsets = _decode_plan_j(col)[-1]
     bcap = bucket_bytes(int(out_offsets[-1]))
     data, out_offsets = _decode_write(col, bcap)

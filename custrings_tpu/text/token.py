@@ -192,6 +192,8 @@ def tokenize_strings(col: StringColumn, delims: StringColumn) -> StringColumn:
 
 def token_count(col: StringColumn, delimiter: str | None = " ") -> jax.Array:
     """Tokens per row (tokens.cu token_count:337); null rows -> 0."""
+    if col.size == 0:
+        return jnp.zeros((0,), jnp.int32)
     return token_extents(col, delimiter)["counts"]
 
 
