@@ -32,6 +32,14 @@ class nvcategory:
     def keys_type(self):
         return "str"
 
+    def get_cpointer(self):
+        """Reference C++ instance pointer (NVCategory.h) — compat stub."""
+        return 0
+
+    def values_cpointer(self):
+        """Reference device values pointer — compat stub; use values()."""
+        return 0
+
     def has_nulls(self):
         """True when the keyset contains the null key (NVCategory.h)."""
         import jax as _jax

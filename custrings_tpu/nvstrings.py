@@ -102,6 +102,11 @@ class nvstrings:
     def copy(self):
         return nvstrings(self._col)
 
+    def get_cpointer(self):
+        """Raw C++ instance pointer in the reference (NVStrings.h); there is
+        no host pointer to a device column here -> 0 (compat stub)."""
+        return 0
+
     def get_ipc_data(self):
         """Serialization-based stand-in for the reference's CUDA IPC
         handles (cpp/include/ipc_transfer.h): returns the Arrow host

@@ -14,7 +14,13 @@ from .text import token as _tok
 
 
 def _c(strs):
-    return strs._col if isinstance(strs, nvstrings) else _col.from_host_strings(strs)
+    if isinstance(strs, nvstrings):
+        return strs._col
+    if isinstance(strs, str):
+        # a bare string is a single-row column (reference accepts scalar
+        # repls in replace_tokens), not an iterable of chars
+        strs = [strs]
+    return _col.from_host_strings(strs)
 
 
 def tokenize(strs, delimiter=None):

@@ -373,8 +373,14 @@ def replace_multi_re(
     earliest match wins; position ties resolve to the lowest pattern index."""
     if isinstance(repls, (list, tuple)):
         rl = list(repls)
+        if len(rl) == 1 and len(patterns) > 1:
+            # one repl recycles across all patterns
+            # (reference python/tests/test_replace_multi.py::test_replace_re)
+            rl = rl * len(patterns)
     else:
         rl = [repls] * len(patterns)
+    if len(rl) != len(patterns):
+        raise ValueError("repls must have 1 or len(patterns) entries")
     n = col.size
     dps = [get_program(p) for p in patterns]
     chars, nch = _mats(col)

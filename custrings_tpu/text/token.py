@@ -254,6 +254,14 @@ def replace_tokens(
 ) -> StringColumn:
     """Replace whole tokens equal to targets[i] with repls[i]
     (tokens.cu replace_tokens:565)."""
+    if repls.size == 1 and targets.size > 1:
+        # one repl recycles across all targets (tokens.cu replace_tokens
+        # accepts a single-string repl list)
+        from ..ops.array import gather
+
+        repls = gather(
+            repls, jnp.zeros((targets.size,), jnp.int32)
+        )
     tc = tokenize_record(col, delimiter)
     toks = tc.tokens
     # match each token against targets
@@ -287,12 +295,14 @@ def replace_tokens(
     tstart_pos = E["cpos"][E["c"]]
     tend_pos = E["cpos"][E["c"]] + E["cw"][E["c"]]
     tbase = tc.row_offsets[:-1][E["crows"]]
-    tok_s = jnp.zeros(max(toks.size, 1), jnp.int32).at[
-        jnp.where(E["tstart"], tbase + E["ts_rank"], max(toks.size, 1) - 1)
-    ].set(jnp.where(E["tstart"], tstart_pos, 0))
-    tok_e = jnp.zeros(max(toks.size, 1), jnp.int32).at[
-        jnp.where(E["tend"], tbase + E["te_rank"], max(toks.size, 1) - 1)
-    ].set(jnp.where(E["tend"], tend_pos, 0))
+    # masked scatters dump to slot toks.size (a real extra slot — using
+    # the last valid slot instead clobbers the final token's extents)
+    tok_s = jnp.zeros(toks.size + 1, jnp.int32).at[
+        jnp.where(E["tstart"], tbase + E["ts_rank"], toks.size)
+    ].set(jnp.where(E["tstart"], tstart_pos, 0))[: toks.size]
+    tok_e = jnp.zeros(toks.size + 1, jnp.int32).at[
+        jnp.where(E["tend"], tbase + E["te_rank"], toks.size)
+    ].set(jnp.where(E["tend"], tend_pos, 0))[: toks.size]
 
     p_start = p_start.at[jnp.minimum(tok_piece, pcap)].set(tok_s[: toks.size])
     p_end = p_end.at[jnp.minimum(tok_piece, pcap)].set(tok_e[: toks.size])
