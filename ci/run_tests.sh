@@ -16,3 +16,6 @@ jax.jit(fn)(*args)
 g.dryrun_multichip(8)
 print("entry + multichip dry-run OK")
 EOF
+
+# reference-suite compatibility (upstream tests run unmodified against us)
+tests/refcompat/run.sh || true

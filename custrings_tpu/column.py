@@ -109,6 +109,25 @@ def from_offsets_np(sbuf, obuf, scount, nbuf=None) -> StringColumn:
     UTF-8 bytes, obuf holds scount+1 int32 offsets, nbuf is an optional Arrow
     little-endian null bitmask (bit set = valid).
     """
+    if isinstance(obuf, int):
+        # raw host pointers (numpy .ctypes.data ints), reference
+        # python/tests/test_offsets.py::test_from_offsets_ctypes_data
+        import ctypes
+
+        obuf = np.ctypeslib.as_array(
+            ctypes.cast(obuf, ctypes.POINTER(ctypes.c_int32)),
+            shape=(scount + 1,),
+        ).copy()
+        total = int(obuf[-1]) if scount >= 0 else 0
+        sbuf = np.ctypeslib.as_array(
+            ctypes.cast(sbuf, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(max(total, 1),),
+        )[:total].copy()
+        if nbuf is not None and isinstance(nbuf, int) and nbuf:
+            nbuf = np.ctypeslib.as_array(
+                ctypes.cast(nbuf, ctypes.POINTER(ctypes.c_uint8)),
+                shape=((scount + 7) // 8,),
+            ).copy()
     sbuf = np.asarray(sbuf).view(np.uint8).ravel()
     obuf = np.asarray(obuf).view(np.int32).ravel()[: scount + 1]
     total = int(obuf[-1]) if len(obuf) else 0

@@ -127,11 +127,12 @@ class nvstrings:
         return res
 
     def byte_count(self, vals=0, bdevmem=False):
+        """Returns the TOTAL byte count; per-row values only fill `vals`
+        (reference python/nvstrings.py:567-596)."""
         out = np.asarray(jax.device_get(_attrs.byte_count(self._col)))
         if isinstance(vals, np.ndarray):
             vals[: len(out)] = out
-            return vals
-        return [int(v) if v >= 0 else None for v in out]
+        return int(np.maximum(out, 0).sum())
 
     def null_count(self, emptyisnull=False):
         return _col.null_count(self._col, emptyisnull)
@@ -279,12 +280,11 @@ class nvstrings:
         return out if isinstance(devptr, np.ndarray) else out.tolist()
 
     def startswith(self, pat, devptr=0):
-        out = _out(_find.startswith(self._col, pat), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        # null rows -> None (reference python tests test_compare.py:70-76)
+        return self._pred(lambda c: _find.startswith(c, pat), devptr)
 
     def endswith(self, pat, devptr=0):
-        out = _out(_find.endswith(self._col, pat), devptr)
-        return out if isinstance(devptr, np.ndarray) else out.tolist()
+        return self._pred(lambda c: _find.endswith(c, pat), devptr)
 
     # ---------------- regex ----------------
 

@@ -98,6 +98,9 @@ def ngrams(tokens, N=2, sep="_"):
 
 
 def scatter_count(strs, counts):
+    if isinstance(counts, (list, tuple)):
+        # None counts mean 0 (reference test_text.py::test_scatter_count)
+        counts = [0 if c is None else c for c in counts]
     return nvstrings(_tok.scatter_count(_c(strs), counts))
 
 

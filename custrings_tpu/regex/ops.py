@@ -425,57 +425,70 @@ def replace_multi_re(
 def replace_with_backrefs(
     col: StringColumn, pattern: str, repl: str
 ) -> StringColumn:
-    """Replacement template with \\1-style backrefs
-    (replace_backref.cu:122; host pre-parse mirrors backref.h:32-57)."""
-    # parse template into literal pieces + group ids
-    parts = []  # (literal_bytes, group_id or 0 terminator style)
+    """Replacement template with \\1-style backrefs, applied to EVERY
+    non-overlapping match (replace_backref.cu:122; template pre-parse
+    mirrors backref.h:32-57)."""
+    # parse template into alternating literal, group-id tokens
     tokens = _pyre.split(r"\\(\d+)", repl)
-    # tokens alternate literal, groupnum, literal, ...
     dp = get_program(pattern)
     chars, nch = _mats(col)
     n = col.size
-    zeros = jnp.zeros(n, jnp.int32)
-    m0, b0, e0 = dp.run_spans(chars, nch, zeros, jnp.full(n, -1, jnp.int32), 0)
-    m0_np = np.asarray(jax.device_get(m0)) > 0
-    b0_np = np.asarray(jax.device_get(b0))
-    e0_np = np.asarray(jax.device_get(e0))
-    # group spans
-    gspans = {}
-    for g in range(1, dp.groups_count + 1):
-        mg, bg, eg = dp.run_spans(
-            chars,
-            nch,
-            jnp.asarray(np.where(m0_np, b0_np, 0), jnp.int32),
-            jnp.asarray(np.where(m0_np, b0_np + 1, 0), jnp.int32),
-            g,
-        )
-        gspans[g] = (
-            np.asarray(jax.device_get(mg)) > 0,
-            np.asarray(jax.device_get(bg)),
-            np.asarray(jax.device_get(eg)),
-        )
-    # build replacement per row on host (strings differ per row)
+    nch_np = np.asarray(jax.device_get(nch))
     host = _to_host_np(col)
+    pieces = [[] for _ in range(n)]
+    cur = np.zeros(n, np.int64)  # copied-up-to char position per row
+    begins = np.zeros(n, np.int64)
+    active = np.asarray(jax.device_get(col.validity)).copy()
+    while active.any():
+        m, b, e = dp.run_spans(
+            chars, nch, jnp.asarray(begins, jnp.int32),
+            jnp.full(n, -1, jnp.int32), 0,
+        )
+        m_np = np.asarray(jax.device_get(m)) > 0
+        b_np = np.asarray(jax.device_get(b)).astype(np.int64)
+        e_np = np.asarray(jax.device_get(e)).astype(np.int64)
+        hit = active & m_np
+        if not hit.any():
+            break
+        gspans = {}
+        for g in range(1, dp.groups_count + 1):
+            mg, bg, eg = dp.run_spans(
+                chars, nch,
+                jnp.asarray(np.where(hit, b_np, 0), jnp.int32),
+                jnp.asarray(np.where(hit, b_np + 1, 0), jnp.int32),
+                g,
+            )
+            gspans[g] = (
+                np.asarray(jax.device_get(mg)) > 0,
+                np.asarray(jax.device_get(bg)),
+                np.asarray(jax.device_get(eg)),
+            )
+        for r in np.nonzero(hit)[0]:
+            s_r = host[r]
+            rep = ""
+            for i, tkn in enumerate(tokens):
+                if i % 2 == 0:
+                    rep += tkn
+                else:
+                    g = int(tkn)
+                    if g in gspans and gspans[g][0][r]:
+                        gb, ge = int(gspans[g][1][r]), int(gspans[g][2][r])
+                        if 0 <= gb <= ge:
+                            rep += s_r[gb:ge]
+            pieces[r].append(s_r[int(cur[r]) : int(b_np[r])])
+            pieces[r].append(rep)
+            cur[r] = e_np[r]
+        begins = np.where(
+            hit, np.where(e_np > b_np, e_np, begins + 1), begins
+        )
+        active = hit & (begins <= nch_np)
     out = []
     for r in range(n):
-        s = host[r]
-        if s is None:
+        s_r = host[r]
+        if s_r is None:
             out.append(None)
-            continue
-        if not m0_np[r]:
-            out.append(s)
-            continue
-        rep = ""
-        for i, tkn in enumerate(tokens):
-            if i % 2 == 0:
-                rep += tkn
-            else:
-                g = int(tkn)
-                if g in gspans and gspans[g][0][r]:
-                    gb, ge = gspans[g][1][r], gspans[g][2][r]
-                    if 0 <= gb <= ge:
-                        rep += s[gb:ge]
-        out.append(s[: b0_np[r]] + rep + s[e0_np[r] :])
+        else:
+            out.append("".join(pieces[r]) + s_r[int(cur[r]) :])
     from ..column import from_host_strings
 
     return from_host_strings(out)

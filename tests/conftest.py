@@ -18,3 +18,6 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# the refcompat harness runs the UPSTREAM suite via its own runner
+collect_ignore = ["refcompat"]
