@@ -8,7 +8,8 @@ long2timestamp:639): a tiny strptime/strftime subset with specifiers
 
 Fixed-width formats (the common case, incl. the default) parse fully ON
 DEVICE: positional digit gathers + vectorized civil-date math
-(timestamp2int_device).  Variable-width formats (%z) fall back to the host
+(timestamp2int_device).  %z is fixed +HHMM per datetime.cu:84; only
+unknown specifiers fall back to the host
 format program.
 """
 
@@ -52,7 +53,7 @@ def _compile(fmt: str):
 
 _SPEC_LEN = {
     "Y": 4, "y": 2, "m": 2, "d": 2, "H": 2, "I": 2, "M": 2, "S": 2,
-    "f": 6, "j": 3, "p": 2,
+    "f": 6, "j": 3, "p": 2, "z": 5,
 }
 
 
@@ -73,7 +74,8 @@ def _parse_one(s: str, items) -> int | None:
                 sign = -1 if s[pos] == "-" else 1
                 hh = int(s[pos + 1 : pos + 3] or 0)
                 mm = int(s[pos + 3 : pos + 5] or 0)
-                tz_off = sign * (hh * 3600 + mm * 60)
+                # reference ADDS the offset (datetime.cu:308-318)
+                tz_off = -sign * (hh * 3600 + mm * 60)
                 pos += 5
             continue
         ln = _SPEC_LEN.get(v, 2)
@@ -147,8 +149,6 @@ def _fixed_layout(items):
         if kind == "lit":
             pos += 1
             continue
-        if v == "z":
-            return None  # offset may be absent -> variable
         ln = _SPEC_LEN.get(v)
         if ln is None:
             return None
@@ -192,9 +192,20 @@ def timestamp2int_device(col: StringColumn, layout, units: str) -> jax.Array:
     M = jnp.zeros(col.size, jnp.int64)
     S = jnp.zeros(col.size, jnp.int64)
     us = jnp.zeros(col.size, jnp.int64)
+    tzmin = jnp.zeros(col.size, jnp.int64)
     pm = None
     doy = None
     for v, pos, ln in layout:
+        if v == "z":
+            # fixed +HHMM (datetime.cu:84 {'z',5}; parse at :261-270).
+            # NB the reference ADDS the offset to the timestamp
+            # (datetime.cu:308-318) — mirrored verbatim for parity.
+            sc = mat[:, min(pos, mat.shape[1] - 1)]
+            sign = jnp.where(sc == ord("-"), -1, 1).astype(jnp.int64)
+            hh = field(pos + 1, 2)
+            mm = field(pos + 3, 2)
+            tzmin = sign * (hh * 60 + mm)
+            continue
         f = field(pos, ln)
         if v == "Y":
             Y = f
@@ -223,7 +234,10 @@ def timestamp2int_device(col: StringColumn, layout, units: str) -> jax.Array:
         days = _days_from_civil(Y, jnp.ones_like(Y), jnp.ones_like(Y)) + doy - 1
     else:
         days = _days_from_civil(Y, mo, d)
-    total_us = ((days * 24 + H) * 60 + M) * 60 * 1000000 + S * 1000000 + us
+    total_us = (
+        ((days * 24 + H) * 60 + M) * 60 * 1000000 + S * 1000000 + us
+        + tzmin * 60 * 1000000
+    )
     if units in _UNITS_PER_SEC:
         out = total_us * _UNITS_PER_SEC[units] // 1000000
     elif units == "Y":
@@ -233,9 +247,10 @@ def timestamp2int_device(col: StringColumn, layout, units: str) -> jax.Array:
     elif units == "D":
         out = days
     elif units == "h":
-        out = days * 24 + H
+        # C truncating division (datetime.cu:311 tzadjust/60)
+        out = days * 24 + H + jnp.sign(tzmin) * (jnp.abs(tzmin) // 60)
     elif units == "m":
-        out = (days * 24 + H) * 60 + M
+        out = (days * 24 + H) * 60 + M + tzmin
     else:
         raise ValueError(f"unknown units {units!r}")
     return jnp.where(col.validity & (col.lengths() > 0), out, 0)

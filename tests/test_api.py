@@ -321,3 +321,23 @@ def test_find_reference_vectors():
         [1, 4, -1], [2, -1, -1], [-1, 1, 4], [-1, -1, 7],
         [None, None, None], [-1, -1, -1],
     ]
+
+
+def test_timestamp2int_tz_device():
+    # %z is fixed +HHMM; the reference ADDS the offset
+    # (datetime.cu:84 {'z',5}; :261-270; :308-318) — we mirror that.
+    from custrings_tpu import nvstrings as nvs
+
+    s = nvs.to_device(
+        [
+            "2019-03-20T12:34:56+0530",
+            "2019-03-20T12:34:56-0130",
+            "2019-03-20T12:34:56+0000",
+            None,
+        ]
+    )
+    base = 1553085296
+    got = list(s.timestamp2int("%Y-%m-%dT%H:%M:%S%z", "s"))
+    assert got == [base + 330 * 60, base - 90 * 60, base, 0]
+    got_m = list(s.timestamp2int("%Y-%m-%dT%H:%M:%S%z", "m"))[:2]
+    assert got_m == [base // 60 + 330, base // 60 - 90]
