@@ -55,16 +55,18 @@ def _generate() -> tuple[np.ndarray, np.ndarray]:
         if ch.islower():
             f |= FLAG_LOWER
         flags[cp] = f
-        # Opposite-case table: single-codepoint BMP mappings only, like the
-        # reference's 16-bit charcases[] (docs/source/unicode.md).
+        # Opposite-case table: 16-bit 1:1 mappings like the reference's
+        # charcases[] — multi-codepoint casings take the FIRST codepoint
+        # of the full casing (charcases.h: 0xDF ß->'S', 0x149 ŉ->'ʼ',
+        # 0x390 ΐ->'Ι', ...), exactly as the reference table does.
         if f & FLAG_UPPER:
             low = ch.lower()
-            if len(low) == 1 and ord(low) < TABLE_SIZE:
-                cases[cp] = ord(low)
+            if low != ch and ord(low[0]) < TABLE_SIZE:
+                cases[cp] = ord(low[0])
         elif f & FLAG_LOWER:
             up = ch.upper()
-            if len(up) == 1 and ord(up) < TABLE_SIZE:
-                cases[cp] = ord(up)
+            if up != ch and ord(up[0]) < TABLE_SIZE:
+                cases[cp] = ord(up[0])
     return flags, cases
 
 
@@ -72,7 +74,10 @@ def _generate() -> tuple[np.ndarray, np.ndarray]:
 def host_tables() -> tuple[np.ndarray, np.ndarray]:
     if os.path.exists(_CACHE):
         z = np.load(_CACHE)
-        return z["flags"], z["cases"]
+        # cache-format check: multi-codepoint casings must follow the
+        # reference first-codepoint rule (charcases.h: ß -> 'S')
+        if int(z["cases"][0xDF]) == ord("S"):
+            return z["flags"], z["cases"]
     flags, cases = _generate()
     try:
         np.savez(_CACHE, flags=flags, cases=cases)

@@ -447,3 +447,13 @@ def test_sort_reference_expectations():
     assert list(array.order(col, 1)) == [2, 9, 0, 3, 4, 5, 6, 1, 8, 7]
     assert list(array.order(col, 2)) == [2, 9, 0, 8, 1, 7, 3, 4, 5, 6]
     assert list(array.order(col, 3)) == [2, 9, 0, 3, 4, 5, 6, 1, 8, 7]
+
+
+def test_case_multicodepoint_first_char_rule():
+    # the reference's 16-bit charcases[] maps multi-codepoint casings to
+    # the FIRST codepoint of the full casing (charcases.h: 0xDF -> 'S',
+    # 0x149 -> 0x2BC, 0x390 -> 0x399); mirrored here
+    from custrings_tpu import nvstrings as nvs
+
+    got = nvs.to_device(["ß", "ŉo", "ΐ", "straße"]).upper().to_host()
+    assert got == ["S", "ʼO", "Ι", "STRASE"]
