@@ -491,8 +491,17 @@ def compile_pattern(pattern: str, dot_type: int = ANY) -> Program:
     tokens = lexer.tokens()
     if any(t.t in (T_COUNTED, T_COUNTED_LAZY) for t in tokens):
         tokens = _expand_counted(tokens)
+    # leftmost-longest == leftmost-first only without alternation, lazy
+    # quantifiers, or NULLABLE quantifiers followed by more pattern: a
+    # greedy '?'/'*' choice can lock in a shorter first-priority match
+    # while skipping it yields a longer one (e.g. r"\d?(\d.c*)*" on
+    # "1 ": first=(0,1), longest=(0,2)).  A trailing '*'/'?' is fine —
+    # greedy-maximal IS the longest there.
     longest_safe = not any(
-        t.t in (T_OR, T_STAR_LAZY, T_PLUS_LAZY, T_QUEST_LAZY) for t in tokens
+        t.t in (T_OR, T_STAR_LAZY, T_PLUS_LAZY, T_QUEST_LAZY)
+        for t in tokens
+    ) and not any(
+        t.t in (T_STAR, T_QUEST) for t in tokens[:-1]
     )
 
     b = _Builder()

@@ -452,113 +452,88 @@ class DeviceProgram:
                 return (ids, bs, es, mask, size)
 
             def expand_phase(l1, pos, c):
-                """Repeat eps-expansion rounds until stable."""
+                """DFS addthread (regexec.inl): exact priority order.
 
-                def round_body(state):
-                    l1, _, keep_going = state
-                    l2 = empty_list()
-                    expanded = jnp.zeros((), jnp.bool_)
+                Explicit stack + visited set reproduce the reference's
+                recursive thread insertion — a BFS-round formulation
+                reorders priorities whenever an eps-loop (e.g. (c*)+)
+                feeds the chain, which picks wrong spans.
+                """
+                ids, bs, es, _, size = l1
+                SP = 3 * I + 4
+                prev_c = char_at(pos - 1)
+                wb = alnum(c) != alnum(prev_c)
 
-                    def entry(i, st):
-                        l2, expanded = st
-                        ids, bs, es, mask, size = l1
-                        valid = i < size
-                        iid = ids[jnp.minimum(i, I - 1)]
-                        b, e = bs[jnp.minimum(i, I - 1)], es[jnp.minimum(i, I - 1)]
-                        t = types[iid]
-                        arg = args[iid]
-                        nid = next_ids[iid]
-                        prev_c = char_at(pos - 1)
-                        bol_ok = (pos == 0) | (
-                            (arg == ord("^")) & (prev_c == ord("\n"))
-                        )
-                        eol_ok = (c == 0) | (
-                            (arg == ord("$")) & (c == ord("\n"))
-                        )
-                        wb = alnum(c) != alnum(prev_c)
-                        is_consume = (
-                            (t == CHAR) | (t == ANY) | (t == ANYNL)
-                            | (t == CCLASS) | (t == NCCLASS) | (t == END)
-                        )
-                        # LBRA/RBRA update the tracked range
-                        b = jnp.where(
-                            (t == LBRA) & (arg == group_id), pos, b
-                        )
-                        e = jnp.where(
-                            (t == RBRA) & (arg == group_id), pos, e
-                        )
-                        act_id = jnp.where(
-                            is_consume,
-                            iid,
-                            jnp.where(
-                                (t == LBRA) | (t == RBRA),
-                                nid,
-                                jnp.where(
-                                    (t == BOL) & bol_ok,
-                                    nid,
-                                    jnp.where(
-                                        (t == EOL) & eol_ok,
-                                        nid,
-                                        jnp.where(
-                                            (t == BOW) & wb,
-                                            nid,
-                                            jnp.where(
-                                                (t == NBOW) & ~wb,
-                                                nid,
-                                                jnp.where(t == OR, next_ids[iid], -1),
-                                            ),
-                                        ),
-                                    ),
-                                ),
-                            ),
-                        )
-                        exp_here = valid & ~is_consume & (act_id >= 0)
-                        # OR: right child first (priority), then left(next)
-                        def do_or(l2):
-                            return activate(l2, args[iid], b, e)
+                st_i = jnp.zeros(SP, jnp.int32)
+                st_b = jnp.zeros(SP, jnp.int32)
+                st_e = jnp.zeros(SP, jnp.int32)
+                # push initial entries in reverse so entry 0 pops first
+                k = jnp.arange(SP)
+                src = size - 1 - k  # entry index for stack slot k
+                ok0 = (src >= 0) & (src < size)
+                src_c = jnp.clip(src, 0, I - 1)
+                st_i = jnp.where(ok0, ids[src_c], st_i)
+                st_b = jnp.where(ok0, bs[src_c], st_b)
+                st_e = jnp.where(ok0, es[src_c], st_e)
+                sp0 = size
+                out0 = empty_list()
+                visited0 = jnp.zeros(I, jnp.bool_)
 
-                        l2 = jax.tree_util.tree_map(
-                            lambda new, old: jnp.where(
-                                valid & (t == OR), new, old
-                            ),
-                            do_or(l2),
-                            l2,
-                        )
-                        def do_act(l2):
-                            return activate(l2, jnp.clip(act_id, 0, I - 1), b, e)
+                def cond(state):
+                    return state[3] > 0
 
-                        l2 = jax.tree_util.tree_map(
-                            lambda new, old: jnp.where(
-                                valid & (act_id >= 0), new, old
-                            ),
-                            do_act(l2),
-                            l2,
-                        )
-                        expanded = expanded | exp_here
-                        return (l2, expanded)
-
-                    l2, expanded = jax.lax.fori_loop(
-                        0, I, entry, (l2, expanded)
+                def body(state):
+                    st_i, st_b, st_e, sp, visited, out = state
+                    top = sp - 1
+                    iid = st_i[top]
+                    b, e = st_b[top], st_e[top]
+                    sp = top
+                    fresh = ~visited[iid]
+                    visited = visited.at[iid].set(True)
+                    t = types[iid]
+                    arg = args[iid]
+                    nid = next_ids[iid]
+                    is_consume = (
+                        (t == CHAR) | (t == ANY) | (t == ANYNL)
+                        | (t == CCLASS) | (t == NCCLASS) | (t == END)
                     )
-                    return (l2, expanded, expanded)
+                    b2 = jnp.where((t == LBRA) & (arg == group_id), pos, b)
+                    e2 = jnp.where((t == RBRA) & (arg == group_id), pos, e)
+                    bol_ok = (pos == 0) | (
+                        (arg == ord("^")) & (prev_c == ord("\n"))
+                    )
+                    eol_ok = (c == 0) | ((arg == ord("$")) & (c == ord("\n")))
+                    # single eps successor (everything except OR/consume)
+                    step_ok = (
+                        (t == LBRA) | (t == RBRA)
+                        | ((t == BOL) & bol_ok) | ((t == EOL) & eol_ok)
+                        | ((t == BOW) & wb) | ((t == NBOW) & ~wb)
+                    )
+                    # OR pushes next (low priority) first, args-branch last
+                    push_low = fresh & (t == OR)
+                    st_i = jnp.where(push_low, st_i.at[sp].set(nid), st_i)
+                    st_b = jnp.where(push_low, st_b.at[sp].set(b2), st_b)
+                    st_e = jnp.where(push_low, st_e.at[sp].set(e2), st_e)
+                    sp = sp + push_low.astype(jnp.int32)
+                    hi_id = jnp.where(t == OR, arg, nid)
+                    push_hi = fresh & ((t == OR) | step_ok)
+                    st_i = jnp.where(push_hi, st_i.at[sp].set(hi_id), st_i)
+                    st_b = jnp.where(push_hi, st_b.at[sp].set(b2), st_b)
+                    st_e = jnp.where(push_hi, st_e.at[sp].set(e2), st_e)
+                    sp = sp + push_hi.astype(jnp.int32)
+                    out = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(
+                            fresh & is_consume, new, old
+                        ),
+                        activate(out, iid, b2, e2),
+                        out,
+                    )
+                    return (st_i, st_b, st_e, sp, visited, out)
 
-                # cap rounds at I: a legit eps-chain visits each inst once;
-                # pure eps-cycles (e.g. nested empty stars) would otherwise
-                # spin forever (the reference has the same blind spot).
-                def capped_body(state):
-                    l1, e, k = state
-                    (l1, e, _) = round_body((l1, e, e))
-                    return (l1, e, k + 1)
-
-                def capped_cond(state):
-                    return state[1] & (state[2] < I)
-
-                l1, _, _ = jax.lax.while_loop(
-                    capped_cond,
-                    capped_body,
-                    (l1, jnp.ones((), jnp.bool_), jnp.int32(0)),
+                _, _, _, _, _, out = jax.lax.while_loop(
+                    cond, body, (st_i, st_b, st_e, sp0, visited0, out0)
                 )
-                return l1
+                return out
 
             def consume_phase(l1, pos, c, match, mb, me):
                 l2 = empty_list()

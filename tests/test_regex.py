@@ -260,3 +260,43 @@ def test_pallas_nfa_matches_xla(pattern):
     ref = np.asarray(dp.nfa_matches(chars, nch, False))
     got = np.asarray(PallasNFA(dp).matches(chars, nch, False))
     assert ref.tolist() == got.tolist()
+
+
+def test_priority_nullable_quantifier_chains():
+    # two engine-selection/priority regressions found by fuzzing:
+    # 1. r"\d?(\d.c*)*": leftmost-FIRST (priority) != leftmost-longest,
+    #    so the min-plus fast path must not claim it (longest_safe gate)
+    # 2. r"(c*)+([^a]*a?)?": the exact executor's eps-expansion must be
+    #    DFS (regexec.inl addthread order) — BFS rounds invert priority
+    #    around empty-quantifier loops
+    import re
+
+    def ref_replace(rx, c):
+        parts, cur, i = [], 0, 0
+        while i <= len(c):
+            m = rx.search(c, i)
+            if not m:
+                break
+            parts.append(c[cur:m.start()])
+            parts.append("#")
+            cur = max(cur, m.end())
+            i = m.end() if m.end() > m.start() else i + 1
+        parts.append(c[cur:])
+        return "".join(parts)
+
+    corpus = ["1 ", "0b0", "1cac b", "0aa0b", "c b", "0ac0bb1", "b", ""]
+    for pat in [r"\d?(\d.c*)*", r"(c*)+([^a]*a?)?", r"(c*)+(b*a?)?"]:
+        rx = re.compile(pat)
+        from custrings_tpu.regex.ops import replace_re
+
+        got = host(replace_re(dev(corpus), pat, "#"))
+        assert got == [ref_replace(rx, c) for c in corpus], (pat, got)
+
+
+def test_longest_safe_gate():
+    from custrings_tpu.regex.ops import get_program
+
+    assert get_program(r"#\w+").prog.longest_safe        # fast path kept
+    assert get_program(r"\w*").prog.longest_safe          # trailing * ok
+    assert not get_program(r"\d?(\d.c*)*").prog.longest_safe
+    assert not get_program(r"a?b").prog.longest_safe
