@@ -44,7 +44,7 @@ def _encode_plan(col: StringColumn):
     # a byte is kept verbatim iff it's an ASCII unreserved char; every other
     # byte (incl. continuation bytes) expands to %XX
     keep = _unreserved(b) & real
-    w = jnp.where(real, jnp.where(keep, 1, 3), 0)
+    w = jnp.where(real, jnp.where(keep, 1, 3), 0).astype(jnp.int32)
     # output offsets at byte granularity
     ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
     out_offsets = ob0[col.offsets]
