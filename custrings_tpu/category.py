@@ -116,6 +116,10 @@ def get_value_bounds(cat: Category, key: str | None) -> tuple[int, int]:
 
 def indexes_for_key(cat: Category, key: str | None) -> jax.Array:
     v = value_of(cat, key)
+    if v < 0:
+        # Absent key: -1 would collide with the removed-key sentinel in
+        # cat.values and return every unmapped row instead of none.
+        return jnp.zeros(0, jnp.int32)
     idx = np.nonzero(np.asarray(jax.device_get(cat.values)) == v)[0]
     return jnp.asarray(idx, jnp.int32)
 

@@ -95,7 +95,24 @@ static PyObject *unflatten(PyObject *self, PyObject *args) {
     const char *dp = (const char *)data.buf;
     const int32_t *op = (const int32_t *)offs.buf;
     const char *vp = (const char *)valid.buf;
-    PyObject *out = PyList_New(n);
+    PyObject *out = NULL;
+    /* Validate buffer shapes before decoding: inconsistent n or corrupt
+     * offsets would otherwise read out of bounds in C. */
+    if (n < 0 || offs.len < (Py_ssize_t)((n + 1) * sizeof(int32_t)) ||
+        valid.len < n) {
+        PyErr_SetString(PyExc_ValueError,
+                        "unflatten: offsets/validity buffer too small for n");
+        goto fail;
+    }
+    for (Py_ssize_t i = 0; i < n; i++) {
+        if (op[i] < 0 || op[i] > op[i + 1] ||
+            (Py_ssize_t)op[i + 1] > data.len) {
+            PyErr_SetString(PyExc_ValueError,
+                            "unflatten: offsets not monotone within data");
+            goto fail;
+        }
+    }
+    out = PyList_New(n);
     if (!out)
         goto fail;
     for (Py_ssize_t i = 0; i < n; i++) {

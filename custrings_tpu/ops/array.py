@@ -50,7 +50,20 @@ def gather(col: StringColumn, indexes) -> StringColumn:
 
         return empty_column(int(idx.shape[0]), all_null=col.size == 0)
     idx = jnp.where(idx < 0, idx + col.size, idx)
-    total = int(jnp.sum((col.offsets[1:] - col.offsets[:-1])[idx]))
+    # The reference's gather reports out-of-range indexes (array.cu:96-101);
+    # JAX clamp semantics would silently return the last row instead.  One
+    # fetch covers both the bounds check and the size sync below.
+    oob, total = jax.device_get(
+        (
+            jnp.any((idx < 0) | (idx >= col.size)),
+            jnp.sum((col.offsets[1:] - col.offsets[:-1])[idx]),
+        )
+    )
+    if bool(oob):
+        raise IndexError(
+            f"gather: index out of range for column of {col.size} rows"
+        )
+    total = int(total)
     return _gather_impl(col, idx, bucket_bytes(total))
 
 

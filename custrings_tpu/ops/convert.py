@@ -319,12 +319,11 @@ def to_booleans(col: StringColumn, true="True") -> jax.Array:
 
 def itos(values: np.ndarray, nulls=None) -> StringColumn:
     """Integers -> strings (convert.cu itos:257/ltos:315 semantics ==
-    plain decimal)."""
+    plain decimal).  Fully on device (format_k.itos_device)."""
+    from .format_k import itos_device
+
     valid = _valid_from_bitmask(nulls, len(values))
-    out = [
-        str(int(v)) if valid[i] else None for i, v in enumerate(values)
-    ]
-    return from_host_strings(out)
+    return itos_device(np.asarray(values), valid)
 
 
 def _dissect_value(value: float):
@@ -410,35 +409,31 @@ def _dec_str(decimal: int, decimal_places: int) -> str:
 
 
 def ftos(values: np.ndarray, nulls=None) -> StringColumn:
+    """Floats -> strings, byte-exact ftos_converter output, on device
+    (format_k.ftos_device; _float_to_string above stays as the oracle)."""
+    from .format_k import ftos_device
+
     valid = _valid_from_bitmask(nulls, len(values))
-    out = [
-        _float_to_string(float(v)) if valid[i] else None
-        for i, v in enumerate(values)
-    ]
-    return from_host_strings(out)
+    return ftos_device(np.asarray(values, np.float64), valid)
 
 
 def int2ip(values, nulls=None) -> StringColumn:
+    """uint32 -> dotted quad, on device (format_k.int2ip_device)."""
+    from .format_k import int2ip_device
+
     valid = _valid_from_bitmask(nulls, len(values))
-    out = []
-    for i, v in enumerate(values):
-        if not valid[i]:
-            out.append(None)
-            continue
-        v = int(v or 0) & 0xFFFFFFFF
-        out.append(
-            f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
-        )
-    return from_host_strings(out)
+    return int2ip_device(
+        np.asarray(values, np.int64) & 0xFFFFFFFF, valid
+    )
 
 
 def from_booleans(values, true="True", false="False", nulls=None) -> StringColumn:
+    from .format_k import from_booleans_device
+
     valid = _valid_from_bitmask(nulls, len(values))
-    out = [
-        (true if bool(v) else false) if valid[i] else None
-        for i, v in enumerate(values)
-    ]
-    return from_host_strings(out)
+    return from_booleans_device(
+        np.asarray([bool(v) for v in values], np.bool_), true, false, valid
+    )
 
 
 def _valid_from_bitmask(nulls, count):

@@ -289,13 +289,11 @@ def int2timestamp(
 
     items = _compile(fmt or DEFAULT_FORMAT)
     valid = _valid_from_bitmask(nulls, len(values))
-    out = []
-    for i, v in enumerate(values):
-        if not valid[i]:
-            out.append(None)
-            continue
-        out.append(_format_one(int(v), units, items))
-    return from_host_strings(out)
+    from .format_k import int2timestamp_device
+
+    # device path (datetime.cu long2timestamp:639); _format_one stays as
+    # the host oracle for tests
+    return int2timestamp_device(np.asarray(values), units, items, valid)
 
 
 def _format_one(v: int, units: str, items) -> str:

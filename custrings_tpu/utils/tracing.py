@@ -69,6 +69,79 @@ def reset():
     _records.clear()
 
 
+def _payload_bytes(obj) -> int:
+    """Sum of device-array byte sizes reachable from obj (pytree walk).
+
+    Proxy for HBM traffic: every op reads its input arrays and writes its
+    output arrays at least once, so in+out payload is the roofline floor."""
+    import jax
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(obj):
+        size = getattr(leaf, "nbytes", None)
+        if isinstance(size, int):
+            total += size
+    return total
+
+
+def traced(name: str):
+    """Wrap a public op so each call records wall time + payload bytes.
+
+    Inactive tracing costs one attribute check.  Active tracing blocks on
+    the result (async dispatch would otherwise measure only the enqueue)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if not _active:
+                return fn(*args, **kwargs)
+            import jax
+
+            t0 = time.perf_counter()
+            out = fn(*args, **kwargs)
+            jax.block_until_ready(
+                [
+                    leaf
+                    for leaf in jax.tree_util.tree_leaves(out)
+                    if hasattr(leaf, "block_until_ready")
+                ]
+            )
+            dt = time.perf_counter() - t0
+            rec = _records[name]
+            rec[0] += 1
+            rec[1] += dt
+            rec[2] += _payload_bytes((args, out))
+
+            return out
+
+        return wrapper
+
+    return deco
+
+
+def instrument_module(mod, prefix: str, names=None) -> None:
+    """Wrap every public function defined in `mod` with traced().
+
+    Called once at package import (custrings_tpu/__init__.py); underscore
+    names (jitted internals) are left untouched so tracing measures whole
+    ops, not program phases."""
+    import inspect
+
+    for n in names if names is not None else dir(mod):
+        if n.startswith("_"):
+            continue
+        fn = getattr(mod, n, None)
+        if (
+            inspect.isfunction(fn)
+            and fn.__module__ == mod.__name__
+            and not getattr(fn, "_traced", False)
+        ):
+            wrapped = traced(f"{prefix}.{n}")(fn)
+            wrapped._traced = True
+            setattr(mod, n, wrapped)
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """XLA-level profiler trace (view with TensorBoard / xprof)."""

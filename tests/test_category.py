@@ -206,3 +206,42 @@ def test_get_value_bounds():
     assert C.get_value_bounds(cat, "c") == (0, 1)
     assert C.get_value_bounds(cat, "a") == (-1, 0)
     assert C.get_value_bounds(cat, "z") == (2, 3)
+
+
+def test_truncated_prefix_escalation():
+    # ADVICE r1 (high): rows sharing a 64B truncated prefix with different
+    # lengths must be ordered by the first differing byte PAST the prefix,
+    # not by length; the escalation check must fire for this shape.
+    import custrings_tpu.nvcategory as nvcategory
+
+    c = nvcategory.to_device(["x" * 64 + "b", "x" * 64 + "ac"])
+    assert list(c.keys()) == ["x" * 64 + "ac", "x" * 64 + "b"]
+    assert c.values() == [1, 0]
+    assert c.value("x" * 64 + "ac") == 0
+    assert c.value("x" * 64 + "b") == 1
+    # long identical rows: escalates then settles, single key
+    c2 = nvcategory.to_device(["y" * 100, "y" * 100, "y" * 99 + "z"])
+    assert list(c2.keys()) == ["y" * 100, "y" * 99 + "z"]
+    assert c2.values() == [0, 0, 1]
+
+
+def test_indexes_for_key_absent():
+    # ADVICE r1 (low): absent key must not alias the removed-key sentinel.
+    import numpy as np
+
+    import custrings_tpu.nvcategory as nvcategory
+
+    c = nvcategory.to_device(["a", "b", "a"])
+    assert len(np.asarray(c.indexes_for_key("zzz"))) == 0
+
+
+def test_gather_out_of_range_raises():
+    # ADVICE r1 (low): out-of-range gather raises instead of clamping.
+    import pytest
+
+    import custrings_tpu.nvstrings as nvstrings
+
+    s = nvstrings.to_device(["a", "b", "c"])
+    with pytest.raises(IndexError):
+        s.gather([5])
+    assert s.gather([-1]).to_host() == ["c"]
