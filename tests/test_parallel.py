@@ -88,3 +88,22 @@ def test_distributed_replace():
         got.extend([x for x, al in zip(h, alive) if al])
     exp = [s.replace("the", "A") if s is not None else None for s in strs]
     assert got == exp
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_distributed_categorize_skewed_ranges(n_dev):
+    # contiguous sorted shards => each shard's keys land in ONE owner
+    # range, overflowing the per-pair PSRS capacity; the driver must
+    # transparently fall back to the gathered merge with identical output
+    corpus = [f"k{i:06d}" for i in range(n_dev * 24)]
+    col = column.from_host_strings(corpus)
+    keys, values = dictionary_encode(col)
+    expected = np.asarray(jax.device_get(values))
+
+    mesh = make_mesh(n_dev)
+    d, o, v, a = dist.shard_column(col, n_dev)
+    vals_sh, n_global = dist.distributed_categorize(d, o, v, a, mesh)
+    flat = np.asarray(jax.device_get(vals_sh)).reshape(-1)
+    alive = np.asarray(jax.device_get(a)).reshape(-1)
+    assert int(n_global) == keys.size
+    assert flat[alive].tolist() == expected.tolist()
