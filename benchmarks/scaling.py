@@ -49,14 +49,21 @@ def corpus(n, vocab_n):
     return [vocab[i] for i in rng.integers(0, len(vocab), n)]
 
 
-def _time(fn, reps=5):
-    out = fn()
-    jax.block_until_ready(out)  # warm (compile)
-    t0 = time.time()
+def _time_pair(fn_a, fn_b, reps=5):
+    """Min-of-reps for two thunks, interleaved so background host noise
+    hits both equally (4-core host + virtual devices = heavy contention;
+    the min is the least-contended, most hardware-like sample)."""
+    for fn in (fn_a, fn_b):
+        jax.block_until_ready(fn())  # warm (compile)
+    best_a = best_b = float("inf")
     for _ in range(reps):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps
+        t0 = time.time()
+        jax.block_until_ready(fn_a())
+        best_a = min(best_a, time.time() - t0)
+        t0 = time.time()
+        jax.block_until_ready(fn_b())
+        best_b = min(best_b, time.time() - t0)
+    return best_a, best_b
 
 
 def run(rows_per_shard=4096, reps=5):
@@ -72,14 +79,15 @@ def run(rows_per_shard=4096, reps=5):
         mesh = Mesh(np.array(jax.devices()[:s]), ("data",))
         d, o, v, a = dist.shard_column(col, s)
 
-        t_full = _time(
-            lambda: dist.distributed_categorize(d, o, v, a, mesh), reps
-        )
         # encode-only control: phase A program alone (host-contention probe)
         row_lens = o[:, 1:] - o[:, :-1]
         width = max(-(-int(jax.numpy.max(row_lens)) // 4) * 4, 4)
         enc = dist._encode_fn(mesh, "data", width)
-        t_enc = _time(lambda: enc(d, o, v, a), reps)
+        t_full, t_enc = _time_pair(
+            lambda: dist.distributed_categorize(d, o, v, a, mesh),
+            lambda: enc(d, o, v, a),
+            reps,
+        )
 
         rows_per_sec = n / t_full
         if base_full is None:

@@ -328,11 +328,14 @@ def _encode_fn(mesh: Mesh, axis: str, width: int):
     return fn
 
 
-def _merge_fn(mesh: Mesh, axis: str, C: int, cap: int):
-    """Phase B program: PSRS key merge at static per-pair capacity `cap`
-    (chosen from the measured max shard dictionary size, power-of-2
-    bucketed so repeated calls reuse the compiled program)."""
-    key = (id(mesh), axis, C, cap, "merge")
+def _fused_fn(mesh: Mesh, axis: str, width: int, cap: int):
+    """The steady-state collective categorize: ONE program fusing the
+    shard-local encode and the PSRS merge, so there is no host sync (and
+    no dispatch boundary) between the phases.  The exchange capacity is a
+    static compile-time constant supplied by the driver's adaptive cap
+    cache; overflow is returned as a flag the driver checks after the
+    values are already computed."""
+    key = (id(mesh), axis, width, cap, "fused")
     cached = _categorize_cache.get(key)
     if cached is not None:
         return cached
@@ -340,16 +343,17 @@ def _merge_fn(mesh: Mesh, axis: str, C: int, cap: int):
 
     S = int(np.prod(mesh.devices.shape))
 
-    def body(lv, K):
-        values, n_global, overflow = _psrs_merge(lv[0], K[0], axis, S, cap)
-        return values[None], n_global, overflow
+    def body(d, o, v, a):
+        lv, K, u = _encode_local(d[0], o[0], v[0], a[0], width)
+        values, n_global, overflow = _psrs_merge(lv, K, axis, S, cap)
+        return values[None], n_global, overflow, u[None]
 
     fn = jax.jit(
         shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=(P(axis), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(), P(), P(axis)),
         )
     )
     _categorize_cache[key] = fn
@@ -382,6 +386,16 @@ def _gather_fn(mesh: Mesh, axis: str, width: int):
     return fn
 
 
+_cap_cache: dict = {}
+
+
+def _bucket_cap(per_pair: int, R: int) -> int:
+    cap = 16
+    while cap < min(per_pair, R):
+        cap *= 2
+    return cap
+
+
 def distributed_categorize(
     data_sh, offsets_sh, validity_sh, alive_sh, mesh: Mesh, axis: str = "data"
 ):
@@ -390,12 +404,14 @@ def distributed_categorize(
     Inputs are [S, ...] stacked shard arrays (shard_column).  Returns
     (values [S, R] global key ids, n_global_keys replicated scalar).
 
-    Two-phase: the encode program returns each shard's unique-key count
-    (one tiny [S] sync), which sizes the PSRS exchange so merge work
-    scales with the DICTIONARY, not the row count; if a pathologically
-    skewed keyset (e.g. disjoint pre-sorted ranges per shard) overflows
-    the partition capacity the call transparently reruns with the
-    gathered merge.
+    Steady state is ONE fused program (encode + PSRS merge) with zero
+    mid-pipeline host syncs: the PSRS exchange capacity is a static
+    constant remembered from the previous call on this mesh (first call
+    sizes it with a one-off encode pass).  The post-compute overflow flag
+    is the only per-call sync; when a pathologically skewed keyset
+    overflows the partition capacity the call transparently escalates to
+    cap=u_max (guaranteed sufficient: no shard sends more than its own
+    unique count to one partition) and ultimately to the gathered merge.
     """
     # key-word width = max row byte length (host sync at setup only)
     row_lens = offsets_sh[:, 1:] - offsets_sh[:, :-1]
@@ -403,22 +419,32 @@ def distributed_categorize(
     width = max(-(-width // 4) * 4, 4)
     S = int(np.prod(mesh.devices.shape))
     enc = _encode_fn(mesh, axis, width)
-    lv, K, u = enc(data_sh, offsets_sh, validity_sh, alive_sh)
     if S == 1:
+        lv, K, u = enc(data_sh, offsets_sh, validity_sh, alive_sh)
         return lv, jnp.max(u)
-    R = int(K.shape[1])
-    u_max = int(jax.device_get(jnp.max(u)))  # tiny scalar sync
-    per_pair = -(-2 * u_max // S)
-    cap = 16
-    while cap < min(per_pair, R):
-        cap *= 2
-    values, n_global, overflow = _merge_fn(mesh, axis, int(K.shape[2]), cap)(
-        lv, K
+    R = int(offsets_sh.shape[1]) - 1
+    ckey = (id(mesh), axis)
+    cap = _cap_cache.get(ckey)
+    if cap is None:
+        # first call on this mesh: size the exchange from a real encode
+        _, _, u = enc(data_sh, offsets_sh, validity_sh, alive_sh)
+        u_max = int(jax.device_get(jnp.max(u)))
+        cap = _bucket_cap(-(-2 * u_max // S), R)
+    values, n_global, overflow, u = _fused_fn(mesh, axis, width, cap)(
+        data_sh, offsets_sh, validity_sh, alive_sh
     )
-    if bool(overflow):
-        return _gather_fn(mesh, axis, width)(
+    if bool(overflow):  # post-compute sync; rare escalation path
+        u_max = int(jax.device_get(jnp.max(u)))
+        cap = _bucket_cap(u_max, R)
+        values, n_global, overflow, u = _fused_fn(mesh, axis, width, cap)(
             data_sh, offsets_sh, validity_sh, alive_sh
         )
+        if bool(overflow):
+            _cap_cache.pop(ckey, None)
+            return _gather_fn(mesh, axis, width)(
+                data_sh, offsets_sh, validity_sh, alive_sh
+            )
+    _cap_cache[ckey] = cap
     return values, n_global
 
 
