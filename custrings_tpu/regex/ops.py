@@ -34,11 +34,21 @@ def _get_pallas_nfa(pattern: str):
 
 
 def _use_pallas_nfa(pattern: str) -> bool:
+    """Pallas boolean matcher is the DEFAULT on real TPU hardware (round 2:
+    VERDICT item 5); the XLA engine is the fallback for oversized programs
+    and non-TPU backends.  CUSTRINGS_PALLAS_NFA=0 forces it off, =1 forces
+    it on even off-TPU (interpret mode, for tests)."""
     import os
 
-    if os.environ.get("CUSTRINGS_PALLAS_NFA", "0") != "1":
+    from ..config import use_interpret_mode
+    from .pallas_nfa import pallas_supported
+
+    flag = os.environ.get("CUSTRINGS_PALLAS_NFA")
+    if flag == "0":
         return False
-    return get_program(pattern).I <= 32  # kernel bit-packs memb to uint32
+    if flag != "1" and use_interpret_mode():
+        return False
+    return pallas_supported(get_program(pattern))
 
 
 def _mats(col: StringColumn):

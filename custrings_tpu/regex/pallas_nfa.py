@@ -12,7 +12,13 @@ the MXU:
 Char-class membership, word-char flags, and the per-position closure-
 variant id are precomputed OUTSIDE the kernel (tiny gathers XLA already
 does well), so the kernel body is pure matmul/elementwise — no dynamic
-gathers in Mosaic; dynamic positions use pl.ds ref slices.
+gathers in Mosaic; dynamic positions use rotating VMEM buffers.
+
+Round 2: the instruction cap is lifted from 32 to MAX_INSTS by carrying
+ceil(I/32) membership bitmask words per position (Mosaic can only roll
+32-bit data, so the per-inst class predicate is packed into multiple
+uint32 planes selected per lane inside the kernel), and the instruction
+dim pads to the next 128 multiple (padded MXU matmuls are ~free).
 """
 
 from __future__ import annotations
@@ -27,29 +33,34 @@ from ..config import use_interpret_mode
 from .compiler import ANY, ANYNL, CCLASS, CHAR, NCCLASS
 
 ROW_TILE = 256
-INST_PAD = 128  # pad the instruction dim to the full lane width: small
+LANE = 128  # pad the instruction dim to a full lane-width multiple: small
 # (non-128-multiple) minor dims crash Mosaic layout inference, and padded
 # matmuls tile cleanly onto the MXU anyway
+MAX_INSTS = 256  # two lane groups; beyond this the XLA engine takes over
+VMEM_TABLE_BUDGET = 6 * 1024 * 1024  # closure variants must fit in VMEM
 
 
-def _kernel_factory(U, I, anchored):
-    PI = INST_PAD
-
-    def kernel(
-        chars_ref,  # [T, L] int32
-        lens2_ref,  # [G, T] int32 (full; row = program_id)
-        memb_ref,  # [T, L] uint32: per-position class-pred bitmask (bit i
-        #            = inst i matches); Mosaic can only roll 32-bit data
-        uid_ref,  # [T, L+1] int32: closure-variant id per position
-        closure_ref,  # [U*PI, PI] f32 (rank-3 flattened; static row slices)
-        next_ref,  # [PI, PI] f32
-        isend_ref,  # [1, PI] f32
-        start_ref,  # [1, PI] f32
-        types_ref,  # [1, PI] int32 (padded lanes hold -1 = no type)
-        args_ref,  # [1, PI] int32
-        out_ref,  # [G, T] int32
-    ):
+def _kernel_factory(U, I, PI, W32, anchored):
+    def kernel(*refs):
         from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        (
+            chars_ref,  # [T, L] int32
+            lens2_ref,  # [G, T] int32 (full; row = program_id)
+            *memb_refs,  # W32 x [T, L] uint32 per-position class-pred
+            #             bitmask planes (plane w bit b = inst w*32+b)
+        ) = refs[: 2 + W32]
+        (
+            uid_ref,  # [T, L+1] int32: closure-variant id per position
+            closure_ref,  # [U*PI, PI] f32 (rank-3 flattened; static slices)
+            next_ref,  # [PI, PI] f32
+            isend_ref,  # [1, PI] f32
+            start_ref,  # [1, PI] f32
+            types_ref,  # [1, PI] int32 (padded lanes hold -1 = no type)
+            args_ref,  # [1, PI] int32
+            out_ref,  # [G, T] int32
+        ) = refs[2 + W32 :]
 
         gi = pl.program_id(0)
         T, L = chars_ref.shape
@@ -60,12 +71,13 @@ def _kernel_factory(U, I, anchored):
         is_any = (types == ANY).astype(jnp.float32)
         is_anynl = (types == ANYNL).astype(jnp.float32)
         is_cc = ((types == CCLASS) | (types == NCCLASS)).astype(jnp.float32)
-
-        from jax.experimental.pallas import tpu as pltpu
+        bit_i = jax.lax.broadcasted_iota(jnp.int32, (1, PI), 1)
+        word_i = bit_i >> 5  # which membership plane owns this lane
+        shift = (bit_i & 31).astype(jnp.uint32)
 
         def step(p, carry):
             # rotating buffers: read static column 0, then roll axis 1
-            state, matched, chars_v, memb_v, uid_v = carry
+            state, matched, chars_v, uid_v, membs = carry
             cur = jnp.where(p < lens_v, chars_v[:, 0], 0)  # [T]
             if anchored:
                 inject = ((p == 0) & (matched < 0.5)).astype(jnp.float32)
@@ -93,15 +105,18 @@ def _kernel_factory(U, I, anchored):
                 matched,
                 jnp.max(closed * isend_ref[:], axis=1),
             )
-            # char predicate [T, PI]; unpack the membership bitmask word
-            # (bits beyond I are zero by construction: shift is clamped and
-            # the padded type lanes are -1 so no predicate term fires)
+            # char predicate [T, PI]; select + unpack the membership plane
+            # owning each lane (bits beyond I are masked below; the padded
+            # type lanes are -1 so no predicate term fires)
             curE = cur[:, None]
-            bit_i = jax.lax.broadcasted_iota(jnp.int32, (1, PI), 1)
-            shift = jnp.minimum(bit_i, 31).astype(jnp.uint32)
-            memb_p = (
-                (memb_v[:, 0][:, None] >> shift) & jnp.uint32(1)
-            ).astype(jnp.int32)  # Mosaic has no uint32->f32 cast
+            memb_word = jnp.zeros((T, PI), jnp.uint32)
+            for w in range(W32):
+                memb_word = jnp.where(
+                    word_i == w, membs[w][:, 0][:, None], memb_word
+                )
+            memb_p = ((memb_word >> shift) & jnp.uint32(1)).astype(
+                jnp.int32
+            )  # Mosaic has no uint32->f32 cast
             memb_p = jnp.where(bit_i < I, memb_p, 0)
             pred = (
                 is_char * (curE == args)
@@ -121,31 +136,50 @@ def _kernel_factory(U, I, anchored):
                 state,
                 matched,
                 pltpu.roll(chars_v, chars_v.shape[1] - 1, 1),
-                pltpu.roll(memb_v, memb_v.shape[1] - 1, 1),
                 pltpu.roll(uid_v, uid_v.shape[1] - 1, 1),
+                tuple(
+                    pltpu.roll(mv, mv.shape[1] - 1, 1) for mv in membs
+                ),
             )
 
         state0 = jnp.zeros((T, PI), jnp.float32)
         matched0 = jnp.zeros((T,), jnp.float32)
-        init = (state0, matched0, chars_ref[:], memb_ref[:], uid_ref[:])
+        init = (
+            state0,
+            matched0,
+            chars_ref[:],
+            uid_ref[:],
+            tuple(m[:] for m in memb_refs),
+        )
         _, matched, *_ = jax.lax.fori_loop(0, L + 1, step, init)
         out_ref[pl.ds(gi, 1), :] = (matched > 0.5).astype(jnp.int32)[None, :]
 
     return kernel
 
 
+def pallas_supported(dp) -> bool:
+    """Can this program run on the Pallas boolean matcher?"""
+    if dp.I > MAX_INSTS:
+        return False
+    PI = -(-max(dp.I, 1) // LANE) * LANE
+    U = int(dp.closure_unique.shape[0])
+    return U * PI * PI * 4 <= VMEM_TABLE_BUDGET
+
+
 class PallasNFA:
     """Per-DeviceProgram Pallas matcher."""
 
     def __init__(self, dp):
-        if dp.I > 32:
+        if not pallas_supported(dp):
             raise ValueError(
-                "PallasNFA bit-packs class membership into uint32 words: "
-                "programs with >32 instructions use the XLA engine"
+                "program exceeds the Pallas matcher's instruction/VMEM "
+                "budget: the XLA engine handles it"
             )
         self.dp = dp
         prog = dp.prog
         self.I = dp.I
+        self.PI = -(-max(dp.I, 1) // LANE) * LANE
+        self.W32 = -(-self.I // 32)
         cu = np.asarray(jax.device_get(dp.closure_unique)).astype(np.float32)
         self.closure = jnp.asarray(cu)
         self.U = cu.shape[0]
@@ -155,12 +189,27 @@ class PallasNFA:
         self.start_vec = dp.start_vec.astype(jnp.float32)
         self.types = jnp.asarray(prog.types)
         self.args = jnp.asarray(prog.args)
-        # per-inst class id (or 0) for membership precompute
-        cls_of_inst = np.where(
-            np.isin(prog.types, (CCLASS, NCCLASS)), prog.args, 0
-        )
-        self.cls_of_inst = jnp.asarray(cls_of_inst, jnp.int32)
-        self.is_ncc = jnp.asarray(prog.types == NCCLASS)
+        # Affine bit-pack of per-inst class membership into W32 uint32
+        # planes: memb_i = in_class[cls_of[i]] XOR is_ncc[i], so plane w =
+        # B[w] + sum_c in_class_c * A[c, w] (mod 2^32) with per-bit-disjoint
+        # coefficients (each bit belongs to exactly one inst => no carries).
+        # This avoids ever materializing the [rows, L, I] predicate tensor.
+        n_cls = max(len(prog.classes), 1)
+        A = np.zeros((n_cls, self.W32), np.uint32)
+        B = np.zeros((self.W32,), np.uint32)
+        for i in range(self.I):
+            t = prog.types[i]
+            if t not in (CCLASS, NCCLASS):
+                continue
+            c = int(prog.args[i])
+            w, b = i // 32, np.uint32(1 << (i % 32))
+            if t == NCCLASS:
+                B[w] += b
+                A[c, w] -= b  # uint32 wraparound: +in_class*(-2^b)
+            else:
+                A[c, w] += b
+        self.memb_A = jnp.asarray(A)
+        self.memb_B = jnp.asarray(B)
 
     @partial(jax.jit, static_argnums=(0, 3))
     def matches(self, chars, lengths, anchored: bool):
@@ -175,13 +224,15 @@ class PallasNFA:
             chars = jnp.pad(chars, ((0, pad), (0, 0)))
             lengths = jnp.pad(lengths, (0, pad))
         NP = N + pad
-        # precompute per-position per-inst class predicate, bit-packed to a
-        # uint32 word per position (I <= 32; Mosaic only rolls 32-bit data)
+        # precompute per-position per-inst class predicate, bit-packed into
+        # W32 uint32 planes per position (Mosaic only rolls 32-bit data)
         in_class = self.dp._class_membership(chars)  # [NP, L, n_classes]
-        memb = in_class[..., self.cls_of_inst]  # [NP, L, I]
-        memb = jnp.where(self.is_ncc[None, None, :], ~memb, memb)
-        bit = jnp.arange(self.I, dtype=jnp.uint32)[None, None, :]
-        membw = jnp.sum(memb.astype(jnp.uint32) << bit, axis=-1)
+        membw = (
+            jnp.tensordot(
+                in_class.astype(jnp.uint32), self.memb_A, axes=([2], [0])
+            )
+            + self.memb_B[None, None, :]
+        )  # [NP, L, W32]
         # precompute the closure-variant id per (row, position incl. the
         # EOS sentinel position L)
         from ..unicode.tables import FLAG_ALPHANUM, device_tables
@@ -212,12 +263,14 @@ class PallasNFA:
         )
         uid = self.ctx_map[ctx].astype(jnp.int32)  # [NP, L+1]
 
-        kernel = _kernel_factory(self.U, self.I, anchored)
-        PI = INST_PAD
+        PI, W32 = self.PI, self.W32
+        kernel = _kernel_factory(self.U, self.I, PI, W32, anchored)
         padI = PI - self.I
         closure2 = jnp.pad(
             self.closure, ((0, 0), (0, padI), (0, padI))
         ).reshape(self.U * PI, PI)
+        memb_planes = [membw[:, :, w] for w in range(W32)]
+        tile_specs = [pl.BlockSpec((T, L), lambda i: (i, 0))] * W32
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int32),
@@ -225,7 +278,7 @@ class PallasNFA:
             in_specs=[
                 pl.BlockSpec((T, L), lambda i: (i, 0)),
                 pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
-                pl.BlockSpec((T, L), lambda i: (i, 0)),
+                *tile_specs,
                 pl.BlockSpec((T, L + 1), lambda i: (i, 0)),
                 pl.BlockSpec((self.U * PI, PI), lambda i: (0, 0)),
                 pl.BlockSpec((PI, PI), lambda i: (0, 0)),
@@ -239,7 +292,7 @@ class PallasNFA:
         )(
             chars.astype(jnp.int32),
             lengths.astype(jnp.int32).reshape(NP // T, T),
-            membw,
+            *memb_planes,
             uid,
             closure2,
             jnp.pad(self.next_mat, ((0, padI), (0, padI))),

@@ -248,8 +248,12 @@ def test_replace_multi_tie():
     assert got == ["1c"]  # earliest position, first pattern listed wins
 
 
-@pytest.mark.parametrize("pattern", ["\\d", "\\w+", "[Hh]ello [Ww]orld",
-                                     "\\bworld\\b", ".*c"])
+@pytest.mark.parametrize("pattern", [
+    "\\d", "\\w+", "[Hh]ello [Ww]orld", "\\bworld\\b", ".*c",
+    # >32-inst programs: multi-word membership planes (round 2)
+    "\\w{10,40}", "(\\d+[a-c]{3,9}){2,4}", "[a-h]{30,70}",
+    "[^o]{3,40}\\b\\w+",  # NCCLASS lanes past word 0
+])
 def test_pallas_nfa_matches_xla(pattern):
     from custrings_tpu.ops import layout
     from custrings_tpu.regex.pallas_nfa import PallasNFA
@@ -257,9 +261,11 @@ def test_pallas_nfa_matches_xla(pattern):
     col = dev(S30)
     chars, nch = layout.char_matrix(col)
     dp = rx.get_program(pattern)
-    ref = np.asarray(dp.nfa_matches(chars, nch, False))
-    got = np.asarray(PallasNFA(dp).matches(chars, nch, False))
-    assert ref.tolist() == got.tolist()
+    nfa = PallasNFA(dp)
+    for anchored in (False, True):
+        ref = np.asarray(dp.nfa_matches(chars, nch, anchored))
+        got = np.asarray(nfa.matches(chars, nch, anchored))
+        assert ref.tolist() == got.tolist(), (pattern, anchored)
 
 
 def test_priority_nullable_quantifier_chains():
