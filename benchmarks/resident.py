@@ -123,10 +123,21 @@ def measure(lines, K: int = 24):
     BEFORE timing (K is a static arg — each value is its own program);
     per-iteration time is (t_K - t_1) / (K - 1), which cancels dispatch
     and the relay round-trip floor exactly."""
+    def _p(msg):
+        print(f"[resident +{time.perf_counter() - _T0:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    _T0 = time.perf_counter()
+    _p(f"backend={jax.devices()[0].platform} uploading {len(lines)} rows")
     col = colmod.from_host_strings(lines)
+    jax.block_until_ready(col.data)
+    _p("upload done; probing category width")
     loop, args = build_resident_loop(col)
+    _p("compiling K=1 program")
     jax.block_until_ready(loop(*args, 1))
+    _p(f"K=1 compiled+run; compiling K={K}")
     jax.block_until_ready(loop(*args, K))
+    _p("warm; timing")
     t2 = time.perf_counter()
     jax.block_until_ready(loop(*args, 1))
     t3 = time.perf_counter()

@@ -543,34 +543,65 @@ class nvstrings:
 
 def _records(tc):
     """TokenColumn -> list of per-row nvstrings (or None), reference
-    split_record return shape."""
-    toks = nvstrings(tc.tokens)
-    offs = np.asarray(jax.device_get(tc.row_offsets))
-    val = np.asarray(jax.device_get(tc.row_validity))
+    split_record return shape (split.cu:163-196 materializes per-row
+    instances in one pass).
+
+    One batched D2H of the flattened TokenColumn; each row's nvstrings is
+    then a host-resident numpy-backed StringColumn (pure host slicing, no
+    per-row device dispatch).  Device ops on a row upload lazily via jnp
+    coercion; `to_host()` never touches the device again."""
+    toks = tc.tokens
+    data, offs_t, val_t, row_off, row_val = jax.device_get(
+        (toks.data, toks.offsets, toks.validity,
+         tc.row_offsets, tc.row_validity)
+    )
+    data = np.asarray(data)
+    offs_t = np.ascontiguousarray(offs_t, np.int32)
+    val_t = np.asarray(val_t)
     out = []
     for i in range(tc.nrows):
-        if not val[i]:
+        if not row_val[i]:
             out.append(None)
-        else:
-            out.append(toks.gather(list(range(int(offs[i]), int(offs[i + 1])))))
+            continue
+        a, b = int(row_off[i]), int(row_off[i + 1])
+        o = offs_t[a : b + 1]
+        sub = _col.StringColumn(
+            np.ascontiguousarray(data[o[0] : o[-1]] if b > a else data[:0]),
+            np.ascontiguousarray(o - o[0] if b > a else offs_t[:1] * 0),
+            np.ascontiguousarray(val_t[a:b]),
+        )
+        out.append(nvstrings(sub))
     return out
 
 
 def _transpose_records(src, cols):
-    """Column-major results -> per-row nvstrings (partition/extract_record)."""
-    out = []
+    """Column-major results -> per-row nvstrings (partition/extract_record).
+
+    One device concat + one batched D2H; per-row k-string instances are
+    host-resident numpy-backed columns (see _records)."""
     n = src.size()
     k = len(cols)
     combined = _array.append([c for c in cols])
+    data, offs, val = jax.device_get(
+        (combined.data, combined.offsets, combined.validity)
+    )
+    data = np.asarray(data)
+    offs = np.ascontiguousarray(offs, np.int32)
+    val = np.asarray(val)
+    out = []
     for i in range(n):
-        out.append(
-            nvstrings(
-                _array.gather(
-                    combined,
-                    np.asarray([j * n + i for j in range(k)], np.int64),
-                )
-            )
+        idx = [j * n + i for j in range(k)]
+        new_off = np.zeros(k + 1, np.int32)
+        parts = []
+        for j, jj in enumerate(idx):
+            parts.append(data[offs[jj] : offs[jj + 1]])
+            new_off[j + 1] = new_off[j] + (offs[jj + 1] - offs[jj])
+        sub = _col.StringColumn(
+            np.concatenate(parts) if parts else data[:0],
+            new_off,
+            val[np.asarray(idx, np.int64)],
         )
+        out.append(nvstrings(sub))
     return out
 
 

@@ -39,13 +39,33 @@ def _encode_sorted(col: StringColumn, width: int, full_width: int):
         both_null = (~sval[1:]) & (~sval[:-1])
         neq = neq.at[1:].set(row_neq & ~both_null)
         if width < full_width:
-            # Truncated-word tie where either row extends past the truncated
-            # width: the sort resolved it by LENGTH, not by the first
-            # differing byte past the prefix, so the order itself is
-            # untrustworthy (not merely the neq flags) -> must escalate.
+            # Truncated-word tie between rows extending past the width: the
+            # sort resolved it by LENGTH.  That order is correct iff the
+            # rows agree on the compared region past the prefix (equal up
+            # to min(len): duplicates, or prefix-extensions — shorter
+            # sorts first, which IS lexicographic).  Compare the tails
+            # exactly on device; only genuinely differing tails escalate.
+            # (Round-2 perf fix: duplicates of >width rows — the common
+            # dictionary-encode case — no longer force a full-width sort.)
             words_eq = ~jnp.any(sw[1:] != sw[:-1], axis=1)
             overflow = (slen[1:] > width) | (slen[:-1] > width)
-            ambiguous = jnp.any(words_eq & overflow & ~both_null)
+            tied = words_eq & overflow & ~both_null
+            tail_w = full_width - width
+            starts_s = col.offsets[:-1][ord_]
+            k = jnp.arange(tail_w, dtype=jnp.int32)[None, :]
+            cap = col.data.shape[0]
+
+            def tail(i0):  # bytes past the prefix for sorted rows i0..
+                idx = jnp.minimum(
+                    starts_s[i0][:, None] + width + k, cap - 1
+                )
+                live = k < (slen[i0] - width)[:, None]
+                return jnp.where(live, col.data[idx], jnp.uint8(0)), live
+
+            a, la = tail(slice(0, n - 1))
+            b, lb = tail(slice(1, n))
+            diff = jnp.any((a != b) & la & lb, axis=1)
+            ambiguous = jnp.any(tied & diff)
     ranks = jnp.cumsum(neq.astype(jnp.int32))
     values = jnp.zeros(n, jnp.int32).at[ord_].set(ranks)
     # first-occurrence (in sorted order) positions -> key gather indexes

@@ -170,6 +170,21 @@ class DeviceProgram:
         self.closure_unique = jnp.asarray(np.stack(uniq))
         self.ctx_map = jnp.asarray(ctx_map)
         self.class_tab = jnp.asarray(class_match_table(prog))
+        # explicit class ranges at full codepoint width for non-BMP chars
+        # (regexec.inl dreclass::is_match:128-133 compares ranges before the
+        # 16-bit builtin-table gate; builtins return false above 0xFFFF)
+        n_cls = max(len(prog.classes), 1)
+        rmax = max(
+            [len(c.ranges) // 2 for c in prog.classes] or [0]
+        )
+        lo = np.ones((n_cls, max(rmax, 1)), np.int32)
+        hi = np.zeros((n_cls, max(rmax, 1)), np.int32)
+        for k, cls in enumerate(prog.classes):
+            r = cls.ranges
+            for j in range(0, len(r), 2):
+                lo[k, j // 2], hi[k, j // 2] = r[j], r[j + 1]
+        self.cls_lo = jnp.asarray(lo)
+        self.cls_hi = jnp.asarray(hi)
         # next-pointer matrix for the boolean path
         I = self.I
         nm = np.zeros((I, I), np.bool_)
@@ -228,13 +243,23 @@ class DeviceProgram:
         return pred & (cE != 0)
 
     def _class_membership(self, c):
-        """bool[..., n_classes] for char(s) c (BMP table; non-BMP -> ranges
-        not supported beyond table, treated as no-match like reference's
-        uni > 0xFFFF path for builtins)."""
+        """bool[..., n_classes] for char(s) c.
+
+        BMP chars use the precomputed 64K table (ranges + builtins); chars
+        >= 0x10000 compare against the explicit ranges at full codepoint
+        width, builtins no-match — exactly dreclass::is_match
+        (regexec.inl:127-154: range loop first, then `uni > 0xFFFF ->
+        false` before any builtin test)."""
         safe = jnp.clip(c, 0, 65535)
         hit = self.class_tab[:, safe]  # [n_classes, ...]
         hit = jnp.moveaxis(hit, 0, -1)
-        return jnp.where((c >= 0)[..., None] & (c < 65536)[..., None], hit, False)
+        cE = c[..., None, None]  # [..., 1, 1] vs [n_classes, rmax]
+        hi_hit = jnp.any((cE >= self.cls_lo) & (cE <= self.cls_hi), axis=-1)
+        return jnp.where(
+            (c < 65536)[..., None],
+            hit & (c >= 0)[..., None],
+            hi_hit,
+        )
 
     # ---------------- executor A: boolean ----------------
 
@@ -264,7 +289,10 @@ class DeviceProgram:
             if anchored:
                 inject = (p == 0) & ~matched
             else:
-                inject = ~matched
+                # starts exist only at positions 0..len (p=len is EOS);
+                # padded sentinel slots past that must stay inert or
+                # context insts (\B$) see a spurious prev=0 position
+                inject = ~matched & (p <= lengths)
             state = state | (self.start_vec[None, :] & inject[:, None])
             ctx = self._ctx_bits(prev, cur, jnp.full(N, p == 0))
             uid = self.ctx_map[ctx]  # [N] unique-closure index
@@ -283,6 +311,162 @@ class DeviceProgram:
             return state, matched
 
         state, matched = jax.lax.fori_loop(0, L + 1, step, (state, matched))
+        return matched
+
+    # ---------------- executor A1: chunked long-string matcher ----------
+
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def nfa_matches_chunked(self, chars, lengths, anchored: bool, G: int):
+        """Long-string parallel matcher (SURVEY §5.7 "design fresh" item).
+
+        The position loop of nfa_matches is a boolean-semiring linear
+        recurrence, so a row can be cut into C chunks of G chars whose
+        per-chunk transfer relations combine ASSOCIATIVELY: each chunk
+        evolves, over its G positions,
+
+          T [I, I]  entry state i -> state j at chunk end
+          A [I]     entry state i reaches END inside the chunk
+          S [I]     a start injected inside the chunk reaches state j
+          M         a start injected inside the chunk reaches END inside
+
+        and two segments compose as (∘ = boolean matmul, MXU work)
+
+          T = T1∘T2   A = A1 ∨ T1∘A2   S = S1∘T2 ∨ S2   M = M1 ∨ M2 ∨ S1·A2
+
+        which is a monoid — chunks combine with lax.associative_scan in
+        O(log C) depth.  Sequential depth falls from L to G + log2(C);
+        work rises by a factor ≤ I (matrix vs vector evolution), which the
+        MXU absorbs.  No reference analogue (regexec.inl walks one thread
+        per row); chunking is what makes one 1MB row tractable on a TPU.
+
+        Word-boundary/^/$ contexts stay exact: each chunk carries its
+        preceding char, and the global BOS flag fires only at chunk 0,
+        position 0.  Matches the vector engine bit-for-bit (parity fuzz in
+        tests/test_regex.py::test_chunked_matches_parity).
+        """
+        N, L = chars.shape
+        I = self.I
+        C = max(-(-L // G), 1)
+        Lp = C * G
+        if Lp != L:
+            chars = jnp.pad(chars, ((0, 0), (0, Lp - L)))
+        goff = jnp.arange(C, dtype=jnp.int32)[None, :] * G  # [1, C]
+        clen = jnp.clip(lengths[:, None] - goff, 0, G)  # [N, C]
+        prev0 = jnp.where(
+            (goff > 0) & (goff - 1 < lengths[:, None]),
+            jnp.take_along_axis(chars, jnp.maximum(goff - 1, 0), axis=1),
+            0,
+        )  # [N, C] char before each chunk
+        Nc = N * C
+        ch = chars.reshape(Nc, G)
+        clen_f = clen.reshape(Nc)
+        prev0_f = prev0.reshape(Nc)
+        cidx = jnp.arange(Nc, dtype=jnp.int32) % C
+        glob0 = cidx == 0  # chunk 0 of row
+        goff_f = cidx * G  # global position of chunk start
+        len_f = jnp.broadcast_to(lengths[:, None], (N, C)).reshape(Nc)
+
+        cu = self.closure_unique.astype(jnp.float32)  # [U, I, I]
+        nm = self.next_mat.astype(jnp.float32)
+        U = cu.shape[0]
+
+        def select_close(x, uid, mat: bool):
+            xf = x.astype(jnp.float32)
+            out = None
+            for k in range(U):
+                ck = (xf @ cu[k]) > 0
+                if out is None:
+                    out = ck
+                else:
+                    cond = (uid == k)[:, None, None] if mat else (uid == k)[:, None]
+                    out = jnp.where(cond, ck, out)
+            return out
+
+        def step(g, carry):
+            T, A, S, M = carry
+            cur = jnp.where(g < clen_f, ch[:, jnp.minimum(g, G - 1)], 0)
+            prev = jnp.where(
+                g == 0,
+                prev0_f,
+                jnp.where(
+                    g - 1 < clen_f,
+                    ch[:, jnp.maximum(jnp.minimum(g - 1, G - 1), 0)],
+                    0,
+                ),
+            )
+            bos = glob0 & (g == 0)
+            ctx = self._ctx_bits(prev, cur, bos)
+            uid = self.ctx_map[ctx]  # [Nc]
+            inj = (goff_f + g) <= len_f  # no starts past EOS
+            cS = select_close(
+                S | (self.start_vec[None, :] & inj[:, None]), uid, False
+            )
+            cT = select_close(T, uid, True)
+            M = M | jnp.any(cS & self.is_end[None, :], axis=1)
+            A = A | jnp.any(cT & self.is_end[None, None, :], axis=2)
+            pred = self._char_pred(cur)  # [Nc, I]
+            S = ((cS & pred).astype(jnp.float32) @ nm) > 0
+            T = ((cT & pred[:, None, :]).astype(jnp.float32) @ nm) > 0
+            return T, A, S, M
+
+        T0 = jnp.broadcast_to(jnp.eye(I, dtype=jnp.bool_), (Nc, I, I))
+        A0 = jnp.zeros((Nc, I), jnp.bool_)
+        M0 = jnp.zeros((Nc,), jnp.bool_)
+        T, A, S, M = jax.lax.fori_loop(
+            0, G, step, (T0, A0, jnp.zeros((Nc, I), jnp.bool_), M0)
+        )
+
+        T = T.reshape(N, C, I, I)
+        A = A.reshape(N, C, I)
+        S = S.reshape(N, C, I)
+        M = M.reshape(N, C)
+
+        def comb(x, y):
+            T1, A1, S1, M1 = x
+            T2, A2, S2, M2 = y
+            bmm = lambda a, b: (
+                a.astype(jnp.float32) @ b.astype(jnp.float32)
+            ) > 0
+            return (
+                bmm(T1, T2),
+                A1 | bmm(T1, A2[..., None])[..., 0],
+                bmm(S1[..., None, :], T2)[..., 0, :] | S2,
+                M1 | M2 | jnp.any(S1 & A2, axis=-1),
+            )
+
+        if C > 1:
+            Tt, At, St, Mt = jax.lax.associative_scan(
+                comb, (T, A, S, M), axis=1
+            )
+            T1, A1, S1, M1 = Tt[:, -1], At[:, -1], St[:, -1], Mt[:, -1]
+        else:
+            T1, A1, S1, M1 = T[:, 0], A[:, 0], S[:, 0], M[:, 0]
+
+        sv = jnp.broadcast_to(self.start_vec, (N, I))
+        if anchored:
+            matched = jnp.any(sv & A1, axis=1)
+            vend = (
+                (sv.astype(jnp.float32)[:, None, :] @ T1.astype(jnp.float32))
+                > 0
+            )[:, 0, :]
+        else:
+            matched = M1
+            # inject at the final EOS slot only for rows whose EOS IS there
+            vend = S1 | (sv & (Lp <= lengths)[:, None])
+        # final sentinel step at p = Lp (EOS context; consumes nothing)
+        prevL = jnp.where(
+            (Lp - 1 < lengths) & (Lp > 0), chars[:, Lp - 1], 0
+        )
+        ctx = self._ctx_bits(
+            prevL, jnp.zeros(N, jnp.int32), jnp.full(N, Lp == 0)
+        )
+        uid = self.ctx_map[ctx]
+        vf = vend.astype(jnp.float32)
+        closed = jnp.zeros_like(vend)
+        for k in range(U):
+            ck = (vf @ cu[k]) > 0
+            closed = jnp.where((uid == k)[:, None], ck, closed)
+        matched = matched | jnp.any(closed & self.is_end[None, :], axis=1)
         return matched
 
     # ---------------- executor A2: leftmost-longest spans ----------------
@@ -351,7 +535,8 @@ class DeviceProgram:
                 chars[:, jnp.maximum(jnp.minimum(p - 1, L - 1), 0)],
                 0,
             )
-            inject = p >= start_pos  # leftmost: min() prefers earlier begins
+            # leftmost: min() prefers earlier begins; no starts past EOS
+            inject = (p >= start_pos) & (p <= lengths)
             beg = beg.at[:, self.prog.start_ids].min(
                 jnp.where(inject, p, INF)[:, None]
             )
@@ -655,11 +840,13 @@ class DeviceProgram:
                 m, b, e = self.nfa_spans(chars, lengths, begins)
             hit = active & m
             counts = counts + hit.astype(jnp.int32)
+            # index pair must be same-dtype even if another op enabled x64
+            z = jnp.zeros((), r.dtype)
             B = jax.lax.dynamic_update_slice(
-                B, jnp.where(hit, b, -1).astype(jnp.int32)[:, None], (0, r)
+                B, jnp.where(hit, b, -1).astype(jnp.int32)[:, None], (z, r)
             )
             E = jax.lax.dynamic_update_slice(
-                E, jnp.where(hit, e, -1).astype(jnp.int32)[:, None], (0, r)
+                E, jnp.where(hit, e, -1).astype(jnp.int32)[:, None], (z, r)
             )
             begins = jnp.where(
                 hit, jnp.where(e > b, e, begins + 1), begins

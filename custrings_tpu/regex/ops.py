@@ -55,22 +55,69 @@ def _mats(col: StringColumn):
     return layout.char_matrix(col)
 
 
+def _buckets(col: StringColumn):
+    """Length buckets when beneficial (VERDICT r1 item 7), else None."""
+    import os
+
+    if os.environ.get("CUSTRINGS_LENGTH_BUCKETS") == "0":
+        return None
+    return layout.length_buckets(col)
+
+
+def _chunk_size(width: int) -> int:
+    """Chunk G ~ sqrt(width) rounded to a power of two (depth G + log C)."""
+    g = 64
+    while g * g < width:
+        g *= 2
+    return g
+
+
+def _chunk_threshold() -> int:
+    import os
+
+    return int(os.environ.get("CUSTRINGS_CHUNK_THRESHOLD", "2048"))
+
+
+def _matches(col: StringColumn, pattern: str, anchored: bool) -> jax.Array:
+    """Bucketed boolean-match driver: each length class runs the engine at
+    its own padded width; results scatter back by row id.  Length classes
+    past the chunk threshold use the chunked transfer-matrix engine
+    (device.py nfa_matches_chunked) so one huge row stops serializing."""
+    pallas = _use_pallas_nfa(pattern)
+    dp = _get_pallas_nfa(pattern) if pallas else get_program(pattern)
+    xdp = get_program(pattern)
+    thresh = _chunk_threshold()
+
+    def engine(chars, nch):
+        width = int(chars.shape[1])
+        if width >= thresh:
+            return xdp.nfa_matches_chunked(
+                chars, nch, anchored, _chunk_size(width)
+            )
+        if pallas:
+            return dp.matches(chars, nch, anchored)
+        return xdp.nfa_matches(chars, nch, anchored)
+
+    bks = _buckets(col)
+    if bks is None:
+        chars, nch = _mats(col)
+        return engine(chars, nch) & col.validity
+    out = jnp.zeros(col.size + 1, jnp.bool_)
+    for bk in bks:
+        chars, nch = layout.char_matrix_rows(col, bk)
+        m = engine(chars, nch) & bk.vmask
+        out = out.at[bk.idx_s].set(m)
+    return out[: col.size]
+
+
 def contains_re(col: StringColumn, pattern: str) -> jax.Array:
     """bool[rows] (count.cu contains_re:59); null rows -> False."""
-    chars, nch = _mats(col)
-    if _use_pallas_nfa(pattern):
-        return _get_pallas_nfa(pattern).matches(chars, nch, False) & col.validity
-    dp = get_program(pattern)
-    return dp.nfa_matches(chars, nch, False) & col.validity
+    return _matches(col, pattern, False)
 
 
 def match_re(col: StringColumn, pattern: str) -> jax.Array:
     """Anchored-at-0 match (count.cu match:113)."""
-    chars, nch = _mats(col)
-    if _use_pallas_nfa(pattern):
-        return _get_pallas_nfa(pattern).matches(chars, nch, True) & col.validity
-    dp = get_program(pattern)
-    return dp.nfa_matches(chars, nch, True) & col.validity
+    return _matches(col, pattern, True)
 
 
 def _all_spans_device(col: StringColumn, pattern: str):
@@ -83,32 +130,80 @@ def _all_spans_device(col: StringColumn, pattern: str):
     return dp.all_spans(chars, nch, col.validity, Rcap, not fast)
 
 
+def _all_spans_host(col: StringColumn, pattern: str):
+    """(counts int32[n], B int64[n, rounds], E int64[n, rounds]) numpy.
+
+    Bucketed: each length class runs its own all_spans at its own width
+    and round cap; per-bucket results assemble on host (rounds = observed
+    max match count, usually far below any width-derived cap)."""
+    dp = get_program(pattern)
+    fast = dp.prog.longest_safe and dp.I <= 128
+    bks = _buckets(col)
+    if bks is None:
+        counts, B, E = _all_spans_device(col, pattern)
+        counts_np, B_np, E_np = jax.device_get((counts, B, E))
+        return (
+            np.asarray(counts_np),
+            np.asarray(B_np).astype(np.int64),
+            np.asarray(E_np).astype(np.int64),
+        )
+    n = col.size
+    parts = []
+    for bk in bks:
+        chars, nch = layout.char_matrix_rows(col, bk)
+        parts.append(
+            dp.all_spans(chars, nch, bk.vmask, bk.width + 2, not fast)
+        )
+    fetched = jax.device_get(parts)
+    counts = np.zeros(n, np.int32)
+    for bk, (c_b, _, _) in zip(bks, fetched):
+        counts[bk.idx_np] = np.asarray(c_b)[: bk.nv]
+    rounds = int(counts.max(initial=0))
+    B = np.full((n, max(rounds, 1)), -1, np.int64)
+    E = np.full((n, max(rounds, 1)), -1, np.int64)
+    for bk, (_, b_b, e_b) in zip(bks, fetched):
+        r_b = min(rounds, b_b.shape[1])
+        B[bk.idx_np, :r_b] = np.asarray(b_b)[: bk.nv, :r_b]
+        E[bk.idx_np, :r_b] = np.asarray(e_b)[: bk.nv, :r_b]
+    return counts, B, E
+
+
 def _iter_spans(col: StringColumn, pattern: str, max_iters: int | None = None):
     """Non-overlapping leftmost matches per row, reference advance rule
     (count.cu:178-190: begin = end if end>begin else begin+1).
 
-    Round 2: ONE device dispatch + ONE host fetch total (all_spans);
-    yields the same (hit np, begins np, ends np) per-round views the
-    consumers were built against.
+    Round 2: ONE device dispatch + ONE host fetch per length bucket
+    (all_spans); yields the same (hit np, begins np, ends np) per-round
+    views the consumers were built against.
     """
     if col.size == 0:
         return
-    counts, B, E = _all_spans_device(col, pattern)
-    counts_np, B_np, E_np = jax.device_get((counts, B, E))
+    counts_np, B_np, E_np = _all_spans_host(col, pattern)
     rounds = int(counts_np.max(initial=0))
     if max_iters is not None:
         rounds = min(rounds, max_iters)
     for r in range(rounds):
         hit = r < counts_np
-        yield hit, B_np[:, r].astype(np.int64), E_np[:, r].astype(np.int64)
+        yield hit, B_np[:, r], E_np[:, r]
 
 
 def count_re(col: StringColumn, pattern: str) -> jax.Array:
-    """int32[rows] match counts in ONE dispatch (count.cu:178-199)."""
+    """int32[rows] match counts, one dispatch per length bucket
+    (count.cu:178-199)."""
     if col.size == 0:
         return jnp.zeros(0, jnp.int32)
-    counts, _, _ = _all_spans_device(col, pattern)
-    return counts
+    dp = get_program(pattern)
+    fast = dp.prog.longest_safe and dp.I <= 128
+    bks = _buckets(col)
+    if bks is None:
+        counts, _, _ = _all_spans_device(col, pattern)
+        return counts
+    out = jnp.zeros(col.size + 1, jnp.int32)
+    for bk in bks:
+        chars, nch = layout.char_matrix_rows(col, bk)
+        c_b, _, _ = dp.all_spans(chars, nch, bk.vmask, bk.width + 2, not fast)
+        out = out.at[bk.idx_s].set(c_b)
+    return out[: col.size]
 
 
 def findall_spans(col: StringColumn, pattern: str):
@@ -407,8 +502,9 @@ def _multi_spans_fn(patterns: tuple):
                 best_id = jnp.where(better, k, best_id)
             hit = active & (best_id >= 0)
             counts = counts + hit.astype(jnp.int32)
+            z = jnp.zeros((), r.dtype)  # same-dtype index pair under x64
             upd = lambda M, v: jax.lax.dynamic_update_slice(
-                M, jnp.where(hit, v, -1).astype(jnp.int32)[:, None], (0, r)
+                M, jnp.where(hit, v, -1).astype(jnp.int32)[:, None], (z, r)
             )
             B, E, ID = upd(B, best_b), upd(E, best_e), upd(ID, best_id)
             begins = jnp.where(

@@ -82,7 +82,11 @@ def _kernel_factory(U, I, PI, W32, anchored):
             if anchored:
                 inject = ((p == 0) & (matched < 0.5)).astype(jnp.float32)
             else:
-                inject = (matched < 0.5).astype(jnp.float32)
+                # starts only at positions 0..len (p=len is EOS); later
+                # sentinel slots see prev=0 and would fake \B$ contexts
+                inject = ((matched < 0.5) & (p <= lens_v)).astype(
+                    jnp.float32
+                )
             state = jnp.maximum(state, start_ref[:] * inject[:, None])
             uid = uid_v[:, 0]  # [T]
             if U == 1:

@@ -27,13 +27,10 @@ def _char_matrix(col: StringColumn, width: int):
     return mat, nch
 
 
-def edit_distance_scalar(col: StringColumn, target: str) -> jax.Array:
-    """Levenshtein distance of each row to `target` (edit_distance.cu:119)."""
-    tgt = jnp.asarray([ord(c) for c in target] or [0], jnp.int32)
-    tlen = len(target)
-    w = max(layout.max_row_bytes(col), 1)
-    mat, nch = _char_matrix(col, w)
-    n = col.size
+def _ed_scalar_mat(mat, nch, validity, tgt, tlen: int) -> jax.Array:
+    """Distance-to-target DP on a padded char matrix (core of the scalar
+    variant; runs once per length bucket)."""
+    n, w = mat.shape
     # DP over target prefix: state = current row of the DP table, one entry
     # per column position 0..w ; iterate over target chars
     j = jnp.arange(w + 1, dtype=jnp.int32)[None, :]
@@ -61,8 +58,29 @@ def edit_distance_scalar(col: StringColumn, target: str) -> jax.Array:
     final, _ = jax.lax.scan(step, init, jnp.arange(max(tlen, 1)))
     if tlen == 0:
         final = init
-    d = jnp.take_along_axis(final, nch[:, None], axis=1)[:, 0]
-    return jnp.where(col.validity, d, 0)
+    d = jnp.take_along_axis(final, jnp.minimum(nch, w)[:, None], axis=1)[:, 0]
+    return jnp.where(validity, d, 0)
+
+
+def edit_distance_scalar(col: StringColumn, target: str) -> jax.Array:
+    """Levenshtein distance of each row to `target` (edit_distance.cu:119).
+
+    Length-bucketed (VERDICT r1 item 7): the O(rows * width * |target|) DP
+    runs per length class so one long outlier row does not widen every
+    row's DP table."""
+    tgt = jnp.asarray([ord(c) for c in target] or [0], jnp.int32)
+    tlen = len(target)
+    bks = layout.length_buckets(col)
+    if bks is None:
+        w = max(layout.max_row_bytes(col), 1)
+        mat, nch = _char_matrix(col, w)
+        return _ed_scalar_mat(mat, nch, col.validity, tgt, tlen)
+    out = jnp.zeros(col.size + 1, jnp.int32)
+    for bk in bks:
+        mat, nch = layout.char_matrix_rows(col, bk)
+        d = _ed_scalar_mat(mat, nch, bk.vmask, tgt, tlen)
+        out = out.at[bk.idx_s].set(d)
+    return out[: col.size]
 
 
 def edit_distance_pairwise(col: StringColumn, other: StringColumn) -> jax.Array:

@@ -19,5 +19,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# the refcompat harness runs the UPSTREAM suite via its own runner
-collect_ignore = ["refcompat"]
+# the refcompat harness runs the UPSTREAM suite via its own runner;
+# tests/tpu is the real-hardware leg (own process, no CPU override):
+#   python -m pytest tests/tpu -q        (ci/run_tests.sh runs it when a
+#                                         TPU is present and idle)
+collect_ignore = ["refcompat", "tpu"]

@@ -107,3 +107,66 @@ def test_distributed_categorize_skewed_ranges(n_dev):
     alive = np.asarray(jax.device_get(a)).reshape(-1)
     assert int(n_global) == keys.size
     assert flat[alive].tolist() == expected.tolist()
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_column_end_to_end(n_dev):
+    """BASELINE workload 5 through the public ShardedStringColumn API:
+    replace (growing) + contains + categorize + unique_tokens."""
+    import re
+
+    from custrings_tpu.parallel.sharded import ShardedStringColumn
+
+    strs = (
+        ["the cat sat on the mat #tag", "no match here", None, ""] * 6
+        + ["the end 42", "a the b the c"]
+    )
+    col = column.from_host_strings(strs)
+    mesh = make_mesh(n_dev)
+    sc = ShardedStringColumn.from_column(col, mesh)
+    assert sc.size() == len(strs)
+
+    # growing replace (rl > m was rejected in round 1)
+    sc2 = sc.replace("the", "THEIR!")
+    back = column.to_host_strings(sc2.to_column())
+    exp = [s.replace("the", "THEIR!") if s is not None else None for s in strs]
+    assert back == exp
+
+    # contains + global count
+    mask, total = sc.contains_re(r"#\w+")
+    flat = np.asarray(jax.device_get(mask)).reshape(-1)
+    alive = np.asarray(jax.device_get(sc.alive)).reshape(-1)
+    expm = [bool(re.search(r"#\w+", s)) if s else False for s in strs]
+    assert flat[alive].tolist() == expm
+    assert int(total) == sum(expm)
+
+    # categorize parity with single-chip
+    values, n_keys = sc.categorize()
+    _, exp_vals = dictionary_encode(col)
+    gv = np.asarray(jax.device_get(values)).reshape(-1)[alive]
+    assert gv.tolist() == np.asarray(jax.device_get(exp_vals)).tolist()
+
+    # device-side unique tokens: global unique count parity
+    ids, n_unique = sc.unique_tokens()
+    exp_tokens = sorted(
+        set(t for s in strs if s for t in s.split() if t)
+    )
+    assert int(n_unique) == len(exp_tokens)
+    # ids cover exactly [0, n_unique)
+    gi = np.asarray(jax.device_get(ids)).reshape(-1)
+    assert set(gi[gi >= 0].tolist()) == set(range(len(exp_tokens)))
+
+
+def test_sharded_unique_tokens_delimiter():
+    from custrings_tpu.parallel.sharded import ShardedStringColumn
+
+    strs = ["a,b,c", "b,c", None, "c,d,,e"] * 4
+    col = column.from_host_strings(strs)
+    mesh = make_mesh(4)
+    sc = ShardedStringColumn.from_column(col, mesh)
+    ids, n_unique = sc.unique_tokens(",")
+    toks = set()
+    for s in strs:
+        if s:
+            toks.update(t for t in s.split(",") if t)
+    assert int(n_unique) == len(toks)

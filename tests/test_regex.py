@@ -268,6 +268,22 @@ def test_pallas_nfa_matches_xla(pattern):
         assert ref.tolist() == got.tolist(), (pattern, anchored)
 
 
+def test_non_bmp_class_ranges():
+    # Explicit class ranges compare at FULL codepoint width (regexec.inl
+    # dreclass::is_match range loop precedes the 16-bit gate); builtin
+    # shorthands stay 16-bit-limited and NCCLASS inverts the no-match.
+    col = dev(["a\U0001F600b", "ab", "\U0001F64Fxx", "\U0001F700", None])
+    got = np.asarray(rx.contains_re(col, "[\U0001F600-\U0001F64F]")).tolist()
+    assert got == [True, False, True, False, False]
+    # builtins do not reach past the BMP (docs/source/unicode.md model)
+    assert np.asarray(rx.contains_re(dev(["\U0001F600"]), "\\w")).tolist() == [False]
+    # ...but a negated class over a no-match is a match
+    assert np.asarray(rx.contains_re(dev(["\U0001F600"]), "[^a]")).tolist() == [True]
+    # extract through a full-width range
+    got = rx.extract(dev(["x\U0001F600\U0001F601y"]), "([\U0001F600-\U0001F64F]+)")
+    assert host(got[0]) == ["\U0001F600\U0001F601"]
+
+
 def test_priority_nullable_quantifier_chains():
     # two engine-selection/priority regressions found by fuzzing:
     # 1. r"\d?(\d.c*)*": leftmost-FIRST (priority) != leftmost-longest,
@@ -306,3 +322,81 @@ def test_longest_safe_gate():
     assert get_program(r"\w*").prog.longest_safe          # trailing * ok
     assert not get_program(r"\d?(\d.c*)*").prog.longest_safe
     assert not get_program(r"a?b").prog.longest_safe
+
+
+def test_length_buckets_parity():
+    # VERDICT r1 item 7: a single 4KB outlier must not force max-width work
+    # on every row; results must be identical either way.
+    import os
+
+    from custrings_tpu.ops import layout
+
+    corpus = (["short %d x" % i for i in range(300)]
+              + ["the quick brown fox #tag jumps"] * 100
+              + ["z" * 2000 + " end42 #deep", None])
+    col = dev(corpus)
+    bks = layout.length_buckets(col)
+    assert bks is not None and len(bks) >= 2
+    assert sum(b.nv for b in bks) == len(corpus)
+    assert max(b.width for b in bks) >= 2000
+    assert min(b.width for b in bks) < 256
+
+    os.environ["CUSTRINGS_LENGTH_BUCKETS"] = "0"
+    try:
+        flat_contains = np.asarray(rx.contains_re(dev(corpus), r"#\w+"))
+        flat_counts = np.asarray(rx.count_re(dev(corpus), r"\d+"))
+        flat_repl = host(rx.replace_re(dev(corpus), r"\d+", "N"))
+    finally:
+        del os.environ["CUSTRINGS_LENGTH_BUCKETS"]
+    got_contains = np.asarray(rx.contains_re(col, r"#\w+"))
+    got_counts = np.asarray(rx.count_re(col, r"\d+"))
+    got_repl = host(rx.replace_re(col, r"\d+", "N"))
+    assert got_contains.tolist() == flat_contains.tolist()
+    assert got_counts.tolist() == flat_counts.tolist()
+    assert got_repl == flat_repl
+    # oracle spot-check on the outlier + a short row
+    import re as pyre
+
+    assert bool(got_contains[-2]) is True
+    assert int(got_counts[0]) == len(pyre.findall(r"\d+", corpus[0]))
+    assert got_repl[-2] == pyre.sub(r"\d+", "N", corpus[-2])
+
+
+def test_sentinel_injection_gate():
+    # starts must not inject past EOS: padded sentinel slots see prev=0
+    # and would otherwise satisfy \B$ (regexec walks only 0..len)
+    corpus = ["ab", "x" * 40, "", "word "]
+    for pat in [r"\B$", r"\b$", r"$", r"\B"]:
+        got = np.asarray(rx.contains_re(dev(corpus), pat)).tolist()
+        exp = [bool(re.search(pat, s)) for s in corpus]
+        if r"\B" in pat:
+            # Python re quirk: \B never matches "" ; the reference computes
+            # NBOW as alnum(prev)!=alnum(cur) (regexec.inl:323-329), which
+            # holds at the sole position of an empty string -> match
+            exp[2] = True
+        assert got == exp, (pat, got, exp)
+
+
+@pytest.mark.parametrize("pattern", PATTERNS + [r"\bworld\b", r"^x", r"o$"])
+def test_chunked_matches_parity(pattern):
+    # chunked transfer-matrix engine == vector engine == Python re,
+    # across chunk sizes that do and don't divide the padded width
+    from custrings_tpu.ops import layout
+    from custrings_tpu.regex.ops import get_program
+
+    corpus = S30 + ["x" * 100 + "Hello world !" + "y" * 80, "world" * 40]
+    col = dev(corpus)
+    chars, nch = layout.char_matrix(col)
+    dp = get_program(pattern)
+    for anchored in (False, True):
+        ref = np.asarray(dp.nfa_matches(chars, nch, anchored))
+        for G in (16, 64, 100):
+            got = np.asarray(
+                dp.nfa_matches_chunked(chars, nch, anchored, G)
+            )
+            assert got.tolist() == ref.tolist(), (pattern, anchored, G)
+        exp = [
+            bool((re.match if anchored else re.search)(pattern, s))
+            for s in corpus
+        ]
+        assert ref.tolist() == exp, (pattern, anchored, "vector-vs-re")

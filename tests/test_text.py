@@ -198,3 +198,25 @@ def test_tokenize_multi_string_delims():
         if s is not None:
             exp.extend(oracle(s, delims))
     assert got == exp, (got, exp)
+
+
+def test_edit_distance_scalar_bucketed():
+    # bucketed DP (length buckets active at >=256 rows) must match the oracle
+    def lev(a, b):
+        import numpy as _np
+        d = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a):
+            prev = d.copy()
+            d[0] = i + 1
+            for j, cb in enumerate(b):
+                d[j + 1] = min(prev[j + 1] + 1, d[j] + 1, prev[j] + (ca != cb))
+        return d[-1]
+
+    corpus = ["word%d" % i for i in range(300)] + ["x" * 1500 + "puppy"]
+    from custrings_tpu.ops import layout
+
+    col = dev(corpus)
+    assert layout.length_buckets(col) is not None
+    got = list(distance.edit_distance_scalar(col, "puppy"))
+    exp = [lev(s, "puppy") for s in corpus]
+    assert [int(x) for x in got] == exp

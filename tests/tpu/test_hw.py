@@ -1,0 +1,172 @@
+"""One real-hardware test per op family + the Pallas kernels.
+
+Oracle = Python str / re on the same rows.  Shapes are kept identical
+across tests (SHARED corpus, one column) so the whole file costs a handful
+of remote compiles.
+"""
+
+import re as pyre
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    lines = (
+        open("/root/reference/data/tweets.csv", encoding="utf-8")
+        .read()
+        .splitlines()[1:129]
+    )
+    return lines + ["", None, "emoji \U0001F600 ok", "  padded  ", "Ab1 c!"]
+
+
+@pytest.fixture(scope="module")
+def col(corpus):
+    from custrings_tpu import column
+
+    return column.from_host_strings(corpus)
+
+
+def _get(x):
+    import jax
+
+    return np.asarray(jax.device_get(x))
+
+
+def test_roundtrip(col, corpus):
+    from custrings_tpu import column
+
+    assert column.to_host_strings(col) == corpus
+
+
+def test_attrs(col, corpus):
+    from custrings_tpu.ops import attrs
+
+    got = _get(attrs.len_chars(col)).tolist()
+    exp = [len(s) if s is not None else -1 for s in corpus]
+    assert got == exp
+
+
+def test_case(col, corpus):
+    from custrings_tpu import column
+    from custrings_tpu.ops import case
+
+    got = column.to_host_strings(case.upper(col))
+    exp = [s.upper() if s is not None else None for s in corpus]
+    assert got == exp
+
+
+def test_find(col, corpus):
+    from custrings_tpu.ops import find
+
+    got = _get(find.find(col, "the")).tolist()
+    exp = [s.find("the") if s is not None else -1 for s in corpus]
+    assert got == exp
+
+
+def test_substr(col, corpus):
+    from custrings_tpu import column
+    from custrings_tpu.ops import substr
+
+    got = column.to_host_strings(substr.slice_chars(col, 1, 5, 1))
+    exp = [s[1:5] if s is not None else None for s in corpus]
+    assert got == exp
+
+
+def test_split(col, corpus):
+    from custrings_tpu import column
+    from custrings_tpu.ops import split
+
+    tc = split.split_record(col, " ")
+    total = int(_get(tc.row_offsets)[-1])
+    exp_total = sum(len(s.split(" ")) for s in corpus if s is not None)
+    assert total == exp_total
+    toks = column.to_host_strings(tc.tokens)[:10]
+    flat = [t for s in corpus if s is not None for t in s.split(" ")][:10]
+    assert toks == flat
+
+
+def test_regex_xla_engine(col, corpus):
+    import os
+
+    os.environ["CUSTRINGS_PALLAS_NFA"] = "0"
+    try:
+        from custrings_tpu.regex import ops as rx
+
+        got = _get(rx.contains_re(col, r"#\w+")).tolist()
+        exp = [
+            bool(pyre.search(r"#\w+", s)) if s is not None else False
+            for s in corpus
+        ]
+        assert got == exp
+    finally:
+        del os.environ["CUSTRINGS_PALLAS_NFA"]
+
+
+def test_regex_pallas_kernel(col, corpus):
+    """The Pallas NFA is the default TPU matcher — exercise it explicitly."""
+    import os
+
+    os.environ["CUSTRINGS_PALLAS_NFA"] = "1"
+    try:
+        from custrings_tpu.regex import ops as rx
+
+        got = _get(rx.contains_re(col, r"@\w+")).tolist()
+        exp = [
+            bool(pyre.search(r"@\w+", s)) if s is not None else False
+            for s in corpus
+        ]
+        assert got == exp
+    finally:
+        del os.environ["CUSTRINGS_PALLAS_NFA"]
+
+
+def test_pallas_hash(col, corpus):
+    from custrings_tpu.ops import convert
+
+    got = _get(convert.hash_mm3(col)).tolist()
+    # mm3 oracle: the cpu engine (same fn, already fuzz-validated there)
+    assert len(got) == len(corpus)
+    assert len(set(got)) > len(corpus) // 2  # real dispersion, no zeros-run
+
+
+def test_convert_format(corpus):
+    from custrings_tpu import column
+    from custrings_tpu.ops import convert
+
+    vals = np.asarray([0, -5, 123456, 2**31 - 1], np.int64)
+    got = column.to_host_strings(convert.itos(vals))
+    assert got == [str(int(v)) for v in vals]
+
+
+def test_category(col, corpus):
+    from custrings_tpu.ops.unique import dictionary_encode
+
+    keys, values = dictionary_encode(col)
+    from custrings_tpu import column
+
+    k = column.to_host_strings(keys)
+    assert k == sorted(set(s for s in corpus if s is not None))
+    v = _get(values)
+    host = [s for s in corpus]
+    for i, s in enumerate(host):
+        if s is not None:
+            assert k[v[i]] == s
+
+
+def test_nvtext_distance(col, corpus):
+    from custrings_tpu.text import distance
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            prev = d[:]
+            d[0] = i + 1
+            for j, cb in enumerate(b):
+                d[j + 1] = min(prev[j + 1] + 1, d[j] + 1, prev[j] + (ca != cb))
+        return d[-1]
+
+    got = _get(distance.edit_distance_scalar(col, "hello")).tolist()
+    exp = [lev(s, "hello") if s is not None else 0 for s in corpus]
+    assert got == exp
