@@ -155,6 +155,78 @@ def measure(lines, K: int = 24):
     }
 
 
+def build_op_loop(col: StringColumn, which: str):
+    """Single-op resident loop (per-op breakdown of the pipeline time)."""
+    dp = rx.get_program(r"#\w+")
+    p = modify._pat_array(b"the")
+    r = modify._pat_array(b"THE")
+    bordered = modify._has_border(b"the")
+    bcap = col.capacity
+    tcap = bucket_bytes(col.capacity + col.size)
+    cm_width = layout.max_row_bytes(col)
+    if which == "categorize":
+        cat_width, cat_full = _settled_category_width(col)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def loop(data, offsets, validity, K: int):
+        def body(i, carry):
+            d, acc = carry
+            d = jax.lax.optimization_barrier(d)
+            c = StringColumn(d, offsets, validity)
+            if which == "contains":
+                chars, nch = layout.char_matrix(c, cm_width)
+                hits = dp.nfa_matches(chars, nch, False)
+                acc = acc + jnp.sum(hits.astype(jnp.int32))
+            elif which == "charmatrix":
+                chars, nch = layout.char_matrix(c, cm_width)
+                acc = acc + chars[0, 0] + nch[0]
+            elif which == "replace":
+                rdata, roffs = modify._replace_full(
+                    c, p, r, 3, 3, bordered, -1, bcap
+                )
+                acc = acc + roffs[-1] + rdata[0].astype(jnp.int32)
+            elif which == "split":
+                sdata, tok_off, byte_off = split._ragged_full(
+                    c, split._delim_body, (" ", -1, False), tcap, bcap
+                )
+                acc = (
+                    acc + tok_off[-1] + byte_off[-1]
+                    + sdata[0].astype(jnp.int32)
+                )
+            elif which == "categorize":
+                _, _, values, _, _ = unique_mod._encode_sorted(
+                    c, cat_width, cat_full
+                )
+                acc = acc + jnp.sum(values)
+            return d, acc
+
+        _, acc = jax.lax.fori_loop(
+            0, K, body, (data, jnp.zeros((), jnp.int32))
+        )
+        return acc
+
+    return loop, (col.data, col.offsets, col.validity)
+
+
+def measure_ops(lines, K: int = 16, ops=None):
+    col = colmod.from_host_strings(lines)
+    out = {}
+    for which in ops or ["charmatrix", "contains", "replace", "split", "categorize"]:
+        loop, args = build_op_loop(col, which)
+        jax.block_until_ready(loop(*args, 1))
+        jax.block_until_ready(loop(*args, K))
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(*args, 1))
+        t1 = time.perf_counter()
+        t2 = time.perf_counter()
+        jax.block_until_ready(loop(*args, K))
+        t3 = time.perf_counter()
+        per = max(((t3 - t2) - (t1 - t0)) / (K - 1), 1e-9)
+        out[which] = per
+        print(f"[op {which}] {per*1e3:.2f} ms/iter", file=sys.stderr, flush=True)
+    return out
+
+
 if __name__ == "__main__":
     import json
 
@@ -164,6 +236,10 @@ if __name__ == "__main__":
         )
     from bench import load_corpus
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    print(json.dumps(measure(load_corpus(n), K=k)))
+    if len(sys.argv) > 1 and sys.argv[1] == "ops":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+        print(json.dumps(measure_ops(load_corpus(n))))
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+        print(json.dumps(measure(load_corpus(n), K=k)))

@@ -19,3 +19,9 @@ EOF
 
 # reference-suite compatibility (upstream tests run unmodified against us)
 tests/refcompat/run.sh || true
+
+# real-hardware leg: runs in its own process with the default (TPU)
+# backend; skips itself when no TPU is reachable
+if [ "${CUSTRINGS_TPU_TESTS:-1}" != "0" ]; then
+  python -m pytest tests/tpu -q || true
+fi

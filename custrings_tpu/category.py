@@ -28,6 +28,11 @@ from .ops.unique import dictionary_encode, searchsorted_keys, unique_strings
 class Category:
     keys: StringColumn
     values: jax.Array  # int32[rows]; -1 = unmapped
+    # merge_category appends new keys AFTER the existing keyset
+    # (NVCategory.cu:1223), so a keyset can be unsorted; lookups then go
+    # through a sort permutation (the reference's get_value is a linear
+    # scan, NVCategory.cu:766-793, so it never cared)
+    sorted_keys: bool = True
 
     @property
     def size(self) -> int:
@@ -36,6 +41,24 @@ class Category:
     @property
     def keys_size(self) -> int:
         return self.keys.size
+
+
+def _lookup(keys: StringColumn, queries: StringColumn, keys_sorted: bool):
+    """Index of each query in `keys` (-1 absent), ANY keyset order."""
+    if keys_sorted:
+        return searchsorted_keys(keys, queries)
+    from .ops import layout
+
+    width = max(-(-layout.max_row_bytes(keys) // 4) * 4, 4)
+    order = array_ops._order_impl(
+        keys, width, array_ops.SORT_NAME, True, True
+    )
+    skeys = array_ops.gather(keys, order)
+    pos = searchsorted_keys(skeys, queries)
+    order_j = jnp.asarray(order)
+    return jnp.where(
+        pos >= 0, order_j[jnp.clip(pos, 0, max(keys.size - 1, 0))], -1
+    )
 
 
 def from_strings(*cols: StringColumn) -> Category:
@@ -70,7 +93,7 @@ def gather(cat: Category, indexes) -> Category:
     idx = np.asarray(indexes)
     if idx.size and (idx.min() < 0 or idx.max() >= cat.keys_size):
         raise IndexError("gather: index out of range")
-    return Category(cat.keys, jnp.asarray(idx, jnp.int32))
+    return Category(cat.keys, jnp.asarray(idx, jnp.int32), cat.sorted_keys)
 
 
 def gather_and_remap(cat: Category, indexes) -> Category:
@@ -85,7 +108,7 @@ def value_for_index(cat: Category, idx: int) -> int:
 def value_of(cat: Category, key: str | None) -> int:
     """Index of key in the keyset, -1 if absent (NVCategory.cu:766)."""
     q = from_host_strings([key])
-    return int(searchsorted_keys(cat.keys, q)[0])
+    return int(_lookup(cat.keys, q, cat.sorted_keys)[0])
 
 
 def get_value_bounds(cat: Category, key: str | None) -> tuple[int, int]:
@@ -137,9 +160,11 @@ def remove_strings(cat: Category, strs: StringColumn) -> Category:
     return from_strings(array_ops.gather(rows, jnp.asarray(keep, jnp.int32)))
 
 
-def _remap_values(cat: Category, new_keys: StringColumn) -> jax.Array:
+def _remap_values(
+    cat: Category, new_keys: StringColumn, new_sorted: bool = True
+) -> jax.Array:
     """values under a new keyset: old value -> old key -> new index/-1."""
-    old_to_new = searchsorted_keys(new_keys, cat.keys)  # int32[K_old]
+    old_to_new = _lookup(new_keys, cat.keys, new_sorted)  # int32[K_old]
     safe = jnp.clip(cat.values, 0, max(cat.keys_size - 1, 0))
     remapped = old_to_new[safe]
     return jnp.where(cat.values >= 0, remapped, -1)
@@ -156,7 +181,11 @@ def remove_keys(cat: Category, keys: StringColumn) -> Category:
     drop = searchsorted_keys(unique_strings(keys), cat.keys) >= 0
     keep = np.nonzero(~np.asarray(jax.device_get(drop)))[0]
     new_keys = array_ops.gather(cat.keys, jnp.asarray(keep, jnp.int32))
-    return Category(new_keys, _remap_values(cat, new_keys))
+    return Category(
+        new_keys,
+        _remap_values(cat, new_keys, cat.sorted_keys),
+        cat.sorted_keys,
+    )
 
 
 def remove_unused_keys(cat: Category) -> Category:
@@ -166,7 +195,11 @@ def remove_unused_keys(cat: Category) -> Category:
     used[vals[vals >= 0]] = True
     keep = np.nonzero(used)[0]
     new_keys = array_ops.gather(cat.keys, jnp.asarray(keep, jnp.int32))
-    return Category(new_keys, _remap_values(cat, new_keys))
+    return Category(
+        new_keys,
+        _remap_values(cat, new_keys, cat.sorted_keys),
+        cat.sorted_keys,
+    )
 
 
 def set_keys(cat: Category, keys: StringColumn) -> Category:
@@ -187,7 +220,7 @@ def merge_category(cat: Category, other: Category) -> Category:
     """Append-preserving merge (NVCategory.cu merge_category:1223): this
     keyset keeps its positions; other's new keys are appended (sorted among
     themselves) => keyset possibly unsorted overall."""
-    in1 = searchsorted_keys(cat.keys, other.keys)  # other key -> idx in keys1
+    in1 = _lookup(cat.keys, other.keys, cat.sorted_keys)
     in1_np = np.asarray(jax.device_get(in1))
     new_mask = in1_np < 0
     new_idx = np.nonzero(new_mask)[0]
@@ -203,4 +236,5 @@ def merge_category(cat: Category, other: Category) -> Category:
     return Category(
         new_keys,
         jnp.concatenate([cat.values, jnp.asarray(v2, jnp.int32)]),
+        sorted_keys=cat.sorted_keys and len(new_idx) == 0,
     )

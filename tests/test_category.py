@@ -245,3 +245,30 @@ def test_gather_out_of_range_raises():
     with pytest.raises(IndexError):
         s.gather([5])
     assert s.gather([-1]).to_host() == ["c"]
+
+
+def test_merge_category_chained_unsorted_keyset():
+    # After one merge the keyset is unsorted (new keys append,
+    # NVCategory.cu:1223); a second merge and value lookups must still
+    # find existing keys (round 2: searchsorted silently missed them and
+    # appended duplicates).
+    from custrings_tpu import category as catm
+    from custrings_tpu import column
+
+    c1 = catm.from_strings(column.from_host_strings(["a", "a", "d", "c", "c", "e"]))
+    c2 = catm.from_strings(column.from_host_strings(["a", "b", "b", "f", "c", "f"]))
+    c22 = catm.from_strings(column.from_host_strings(["b", "a", "a", "e", "g", "b"]))
+    nc = catm.merge_category(c1, c2)
+    assert not nc.sorted_keys
+    nc2 = catm.merge_category(nc, c22)
+    assert column.to_host_strings(nc2.keys) == ["a", "c", "d", "e", "b", "f", "g"]
+    assert list(map(int, nc2.values))[12:] == [4, 0, 0, 3, 6, 4]
+    # lookups on the unsorted keyset
+    assert catm.value_of(nc2, "b") == 4
+    assert catm.value_of(nc2, "g") == 6
+    assert catm.value_of(nc2, "zzz") == -1
+    assert list(catm.indexes_for_key(nc2, "b")) == [7, 8, 12, 17]
+    # remove_keys keeps working on the unsorted keyset
+    nc3 = catm.remove_keys(nc2, column.from_host_strings(["c"]))
+    assert column.to_host_strings(nc3.keys) == ["a", "d", "e", "b", "f", "g"]
+    assert catm.value_of(nc3, "b") == 3
