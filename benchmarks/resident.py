@@ -73,6 +73,7 @@ def build_resident_loop(
     bcap = col.capacity
     tcap = bucket_bytes(col.capacity + col.size)
     cm_width = layout.max_row_bytes(col)
+    na_rows = layout.row_nonascii_ids(col)
     cat_width, cat_full = _settled_category_width(col)
     split_static = (delim, -1, False)
 
@@ -82,6 +83,7 @@ def build_resident_loop(
             d, acc = carry
             d = jax.lax.optimization_barrier(d)
             c = StringColumn(d, offsets, validity)
+            layout.set_row_nonascii_hint(c, na_rows)
             # -- contains_re --------------------------------------------
             chars, nch = layout.char_matrix(c, cm_width)
             hits = dp.nfa_matches(chars, nch, False) & c.validity
@@ -90,8 +92,8 @@ def build_resident_loop(
                 c, p, r, m, rl, bordered, -1, bcap
             )
             # -- split_record -------------------------------------------
-            sdata, tok_off, byte_off = split._ragged_full(
-                c, split._delim_body, split_static, tcap, bcap
+            sdata, tok_off, byte_off = split._delim_full_bd(
+                c, tcap, bcap, delim, -1, False
             )
             # -- categorize (dictionary encode values) ------------------
             _, _, values, _, _ = unique_mod._encode_sorted(
@@ -164,6 +166,7 @@ def build_op_loop(col: StringColumn, which: str):
     bcap = col.capacity
     tcap = bucket_bytes(col.capacity + col.size)
     cm_width = layout.max_row_bytes(col)
+    na_rows = layout.row_nonascii_ids(col)
     if which == "categorize":
         cat_width, cat_full = _settled_category_width(col)
 
@@ -173,6 +176,7 @@ def build_op_loop(col: StringColumn, which: str):
             d, acc = carry
             d = jax.lax.optimization_barrier(d)
             c = StringColumn(d, offsets, validity)
+            layout.set_row_nonascii_hint(c, na_rows)
             if which == "contains":
                 chars, nch = layout.char_matrix(c, cm_width)
                 hits = dp.nfa_matches(chars, nch, False)
@@ -186,8 +190,8 @@ def build_op_loop(col: StringColumn, which: str):
                 )
                 acc = acc + roffs[-1] + rdata[0].astype(jnp.int32)
             elif which == "split":
-                sdata, tok_off, byte_off = split._ragged_full(
-                    c, split._delim_body, (" ", -1, False), tcap, bcap
+                sdata, tok_off, byte_off = split._delim_full_bd(
+                    c, tcap, bcap, " ", -1, False
                 )
                 acc = (
                     acc + tok_off[-1] + byte_off[-1]

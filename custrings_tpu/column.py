@@ -240,11 +240,21 @@ def materialize_bytes(out_offsets: jax.Array, capacity: int, produce):
     position independently computes its (row, k) coordinate and gathers its
     value — fully parallel on the VPU, no host ping-pong.
     """
+    from .ops.segments import broadcast_rows_to_bytes
+
     j = jnp.arange(capacity, dtype=jnp.int32)
     rows = row_ids_from_offsets(out_offsets, capacity)
-    k = j - out_offsets[rows]
+    k = j - broadcast_rows_to_bytes(out_offsets[:-1], out_offsets, capacity)
     valid = j < out_offsets[-1]
-    vals = produce(rows, k, valid)
+    import inspect
+
+    if "bcast" in inspect.signature(produce).parameters:
+        vals = produce(
+            rows, k, valid,
+            bcast=lambda v: broadcast_rows_to_bytes(v, out_offsets, capacity),
+        )
+    else:
+        vals = produce(rows, k, valid)
     return jnp.where(valid, vals, jnp.uint8(0))
 
 

@@ -40,6 +40,28 @@ def valid_byte_mask(col: StringColumn) -> jax.Array:
     return j < col.offsets[-1]
 
 
+def set_ascii_hint(col: StringColumn, flag: bool) -> None:
+    """Pin the column's ASCII-ness (for traced columns whose data cannot
+    be inspected, e.g. inside a resident jitted loop)."""
+    _cache(col)["is_ascii"] = bool(flag)
+
+
+def is_ascii(col: StringColumn) -> bool:
+    """True if every byte is < 0x80 (chars == bytes: the reference's ASCII
+    fast path, custring_view.inl:47 `chars_in_string` shortcut).
+
+    One cached device reduce + host sync per column; conservatively False
+    for traced columns without an explicit hint (set_ascii_hint)."""
+    c = _cache(col)
+    if "is_ascii" not in c:
+        if isinstance(col.data, jax.core.Tracer):
+            return False
+        c["is_ascii"] = bool(jax.device_get(jnp.max(col.data) < 0x80)) if (
+            col.capacity
+        ) else True
+    return c["is_ascii"]
+
+
 @dataclasses.dataclass(frozen=True)
 class CharMap:
     """Column-wide character index structures (all shapes static).
@@ -77,10 +99,25 @@ def _char_map(data, offsets):
     return cs0, char_offsets, char_pos
 
 
+@jax.jit
+def _char_map_ascii(offsets, capacity_arr):
+    """ASCII columns: chars == bytes, so every structure is affine — no
+    scatter, no gather (the compaction scatter costs ~28 ms at 4M bytes)."""
+    capacity = capacity_arr.shape[0]
+    j = jnp.arange(capacity + 1, dtype=jnp.int32)
+    cs0 = jnp.minimum(j, offsets[-1])
+    return cs0, offsets, j[:capacity]
+
+
 def char_map(col: StringColumn) -> CharMap:
     c = _cache(col)
     if "char_map" not in c:
-        cs0, char_offsets, char_pos = _char_map(col.data, col.offsets)
+        if is_ascii(col):
+            cs0, char_offsets, char_pos = _char_map_ascii(
+                col.offsets, col.data
+            )
+        else:
+            cs0, char_offsets, char_pos = _char_map(col.data, col.offsets)
         c["char_map"] = CharMap(cs0, char_offsets, char_pos)
     return c["char_map"]
 
@@ -104,21 +141,39 @@ def char_width_from_lead(b: jax.Array) -> jax.Array:
     )
 
 
+def _shift_left(x: jax.Array, k: int) -> jax.Array:
+    """x shifted k positions toward index 0, zero-filled (elementwise copy,
+    not a gather)."""
+    if k == 0:
+        return x
+    if k >= x.shape[0]:
+        return jnp.zeros_like(x)
+    return jnp.concatenate([x[k:], jnp.zeros(k, x.dtype)])
+
+
 @jax.jit
-def _codepoints(data, char_pos, total_chars_cap):
-    """Decode codepoint for each char index c (garbage past total chars)."""
-    capacity = data.shape[0]
-    p = char_pos
-    b0 = data[p].astype(jnp.int32)
-    b1 = data[jnp.minimum(p + 1, capacity - 1)].astype(jnp.int32) & 0x3F
-    b2 = data[jnp.minimum(p + 2, capacity - 1)].astype(jnp.int32) & 0x3F
-    b3 = data[jnp.minimum(p + 3, capacity - 1)].astype(jnp.int32) & 0x3F
+def _codepoints_at_bytes(data):
+    """int32[capacity]: the codepoint whose UTF-8 sequence STARTS at byte j
+    (garbage at continuation bytes).  Pure shifts — no gathers."""
+    b0 = data.astype(jnp.int32)
+    b1 = _shift_left(data, 1).astype(jnp.int32) & 0x3F
+    b2 = _shift_left(data, 2).astype(jnp.int32) & 0x3F
+    b3 = _shift_left(data, 3).astype(jnp.int32) & 0x3F
     w = char_width_from_lead(b0)
     cp1 = b0
     cp2 = ((b0 & 0x1F) << 6) | b1
     cp3 = ((b0 & 0x0F) << 12) | (b1 << 6) | b2
     cp4 = ((b0 & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3
     return jnp.select([w == 1, w == 2, w == 3], [cp1, cp2, cp3], cp4)
+
+
+@jax.jit
+def _codepoints(data, char_pos):
+    """Decode codepoint for each char index c (garbage past total chars).
+
+    Byte-position decode is pure shifts; ONE compaction gather moves it to
+    char space (the previous 4-gather form cost 4x ~29 ms at 4M bytes)."""
+    return _codepoints_at_bytes(data)[char_pos]
 
 
 def codepoints(col: StringColumn) -> jax.Array:
@@ -129,8 +184,11 @@ def codepoints(col: StringColumn) -> jax.Array:
     """
     c = _cache(col)
     if "codepoints" not in c:
-        cm = char_map(col)
-        c["codepoints"] = _codepoints(col.data, cm.char_pos, col.capacity)
+        if is_ascii(col):
+            c["codepoints"] = col.data.astype(jnp.int32)
+        else:
+            cm = char_map(col)
+            c["codepoints"] = _codepoints(col.data, cm.char_pos)
     return c["codepoints"]
 
 
@@ -170,6 +228,23 @@ def max_row_bytes(col: StringColumn) -> int:
     return c["max_row_bytes"]
 
 
+def _use_pallas_window() -> bool:
+    """The Pallas ragged-window kernel is the default padded-view builder
+    on real TPU hardware (XLA's 2-D gather costs ~34 ms at 16k x 256 B on
+    v5e vs ~4 ms for the kernel).  CUSTRINGS_PALLAS_WINDOW=0 forces it
+    off, =1 forces it on even off-TPU (interpret mode, for tests)."""
+    import os
+
+    from ..config import use_interpret_mode
+
+    flag = os.environ.get("CUSTRINGS_PALLAS_WINDOW")
+    if flag == "0":
+        return False
+    if flag != "1" and use_interpret_mode():
+        return False
+    return True
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _padded_view(data, offsets, width):
     nrows = offsets.shape[0] - 1
@@ -180,6 +255,16 @@ def _padded_view(data, offsets, width):
     idx = jnp.minimum(starts + k, capacity - 1)
     vals = data[idx]
     return jnp.where(k < lens, vals, jnp.uint8(0))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _padded_view_pallas(data, offsets, width):
+    from .pallas_window import ragged_gather
+
+    lens = (offsets[1:] - offsets[:-1])[:, None]
+    k = jnp.arange(width, dtype=jnp.int32)[None, :]
+    raw = ragged_gather(data, offsets[:-1], width)
+    return jnp.where(k < lens, raw, jnp.uint8(0))
 
 
 def padded_view(col: StringColumn, width: int | None = None) -> jax.Array:
@@ -194,7 +279,8 @@ def padded_view(col: StringColumn, width: int | None = None) -> jax.Array:
     c = _cache(col)
     key = ("padded", width)
     if key not in c:
-        c[key] = _padded_view(col.data, col.offsets, width)
+        fn = _padded_view_pallas if _use_pallas_window() else _padded_view
+        c[key] = fn(col.data, col.offsets, width)
     return c[key]
 
 
@@ -342,6 +428,92 @@ def gather_bytes(data: jax.Array, idx: jax.Array) -> jax.Array:
     return data[jnp.clip(idx, 0, data.shape[0] - 1)]
 
 
+def set_row_nonascii_hint(col: StringColumn, ids) -> None:
+    """Pin the column's non-ASCII row-id list (for traced columns)."""
+    _cache(col)["nonascii_rows"] = np.asarray(ids, np.int64)
+
+
+@jax.jit
+def _row_nonascii(data, offsets):
+    hi0 = jnp.zeros(data.shape[0] + 1, jnp.int32).at[1:].set(
+        jnp.cumsum((data >= 0x80).astype(jnp.int32))
+    )
+    return (hi0[offsets[1:]] - hi0[offsets[:-1]]) > 0
+
+
+def row_nonascii_ids(col: StringColumn):
+    """Host int64[k]: ids of rows containing any non-ASCII byte; None when
+    the column is traced and no hint was pinned."""
+    c = _cache(col)
+    if "nonascii_rows" not in c:
+        if isinstance(col.data, jax.core.Tracer):
+            return None
+        if c.get("is_ascii"):
+            c["nonascii_rows"] = np.zeros(0, np.int64)
+        else:
+            mask = jax.device_get(_row_nonascii(col.data, col.offsets))
+            c["nonascii_rows"] = np.nonzero(np.asarray(mask))[0]
+    return c["nonascii_rows"]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _char_matrix_rowwise(P, nbytes, width):
+    """Char matrix for a small [rows, width] padded BYTE matrix: decode
+    codepoints at every position via axis-1 shifts, then compact the
+    char starts within each row (all work is O(rows x width))."""
+    n = P.shape[0]
+    k = jnp.arange(width, dtype=jnp.int32)[None, :]
+    inrow = k < nbytes[:, None]
+
+    def sh(x, t):
+        return jnp.pad(x[:, t:], ((0, 0), (0, t))) if t else x
+
+    b0 = P.astype(jnp.int32)
+    b1 = sh(P, 1).astype(jnp.int32) & 0x3F
+    b2 = sh(P, 2).astype(jnp.int32) & 0x3F
+    b3 = sh(P, 3).astype(jnp.int32) & 0x3F
+    w = char_width_from_lead(b0)
+    cp = jnp.select(
+        [w == 1, w == 2, w == 3],
+        [b0, ((b0 & 0x1F) << 6) | b1, ((b0 & 0x0F) << 12) | (b1 << 6) | b2],
+        ((b0 & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3,
+    )
+    starts = ((P & 0xC0) != 0x80) & inrow
+    rank = jnp.cumsum(starts.astype(jnp.int32), axis=1) - 1
+    ri = jnp.arange(n, dtype=jnp.int32)[:, None]
+    tgt = jnp.where(starts, rank, width)
+    out = jnp.zeros((n, width + 1), jnp.int32).at[ri, tgt].set(
+        jnp.where(starts, cp, 0)
+    )[:, :width]
+    return out, starts.sum(axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _char_matrix_hybrid(data, offsets, lens, na_rows, width: int):
+    """ASCII-dominant columns: the padded byte view IS the char matrix for
+    ASCII rows (codepoint == byte); only the non-ASCII rows re-run the
+    decode+compact, then overwrite their rows (a rows-count-sized scatter).
+
+    This keeps the whole charmatrix path on the Pallas window kernel +
+    elementwise work: 74 ms -> ~6 ms at 16k rows x 256 B on v5e."""
+    P = _padded_view_pallas(data, offsets, width)
+    mat = P.astype(jnp.int32)
+    nch = lens
+    if na_rows.shape[0]:
+        na_starts = offsets[:-1][na_rows]
+        na_lens = lens[na_rows]
+        k = jnp.arange(width, dtype=jnp.int32)[None, :]
+        from .pallas_window import ragged_gather
+
+        Pna = jnp.where(
+            k < na_lens[:, None], ragged_gather(data, na_starts, width), 0
+        )
+        mat_na, nch_na = _char_matrix_rowwise(Pna, na_lens, width)
+        mat = mat.at[na_rows].set(mat_na)
+        nch = nch.at[na_rows].set(nch_na)
+    return mat, nch
+
+
 def char_matrix(col: StringColumn, width: int | None = None):
     """(int32[rows, width] codepoint matrix 0-padded, int32[rows] nchars).
 
@@ -352,12 +524,26 @@ def char_matrix(col: StringColumn, width: int | None = None):
     c = _cache(col)
     key = ("char_matrix", width)
     if key not in c:
-        cm = char_map(col)
-        cps = codepoints(col)
-        ncap = cps.shape[0]
-        nch = cm.nchars()
-        j = jnp.arange(width, dtype=jnp.int32)[None, :]
-        g = jnp.clip(cm.char_offsets[:-1][:, None] + j, 0, max(ncap - 1, 0))
-        mat = jnp.where(j < nch[:, None], cps[g], 0)
-        c[key] = (mat, nch)
+        na = row_nonascii_ids(col) if _use_pallas_window() else None
+        if na is not None and (
+            len(na) == 0 or len(na) * 8 <= max(col.size, 1)
+        ):
+            c[key] = _char_matrix_hybrid(
+                col.data,
+                col.offsets,
+                col.lengths(),
+                jnp.asarray(na, jnp.int32),
+                width,
+            )
+        else:
+            cm = char_map(col)
+            cps = codepoints(col)
+            ncap = cps.shape[0]
+            nch = cm.nchars()
+            j = jnp.arange(width, dtype=jnp.int32)[None, :]
+            g = jnp.clip(
+                cm.char_offsets[:-1][:, None] + j, 0, max(ncap - 1, 0)
+            )
+            mat = jnp.where(j < nch[:, None], cps[g], 0)
+            c[key] = (mat, nch)
     return c[key]

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..column import StringColumn, build_column, cumsum0
 from ..config import bucket_bytes
-from . import charwise, layout, substr
+from . import charwise, layout, segments, substr
 from .find import _match_mask, _pat_array
 
 
@@ -67,10 +67,11 @@ def _greedy_select(match: jax.Array, m: int, bordered: bool) -> jax.Array:
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _replace_plan(col: StringColumn, p, m: int, bordered: bool, n: int):
+    """All per-byte row attributes come from segment scans, not
+    capacity-sized gathers/scatters (see ops/segments.py)."""
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    rows = layout.row_ids_from_offsets(col.offsets, cap)
-    row_end = col.offsets[1:][rows]
+    row_end = segments.row_end_positions(col.offsets, cap)
     match = (
         _match_mask(col.data, p)
         & (j + m <= row_end)
@@ -78,18 +79,19 @@ def _replace_plan(col: StringColumn, p, m: int, bordered: bool, n: int):
     )
     picked = _greedy_select(match, m, bordered)
     if n >= 0:
-        pk0 = jnp.cumsum(picked.astype(jnp.int32))
-        row_base = jnp.concatenate([jnp.zeros(1, jnp.int32), pk0])[
-            col.offsets[:-1][rows]
-        ]
-        rank = pk0 - row_base  # 1-based rank at pick positions
-        picked = picked & (rank <= n)
+        pk0 = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+        )
+        base = segments.broadcast_rows_to_bytes(
+            pk0[col.offsets[:-1]], col.offsets, cap
+        )
+        rank = pk0[:cap] - base  # 0-based rank at pick positions
+        picked = picked & (rank < n)
 
-    # covered[j]: j lies inside a picked match
-    cov = jnp.zeros(cap + 1, jnp.int32)
-    cov = cov.at[jnp.where(picked, j, cap)].add(1)
-    cov = cov.at[jnp.where(picked, jnp.minimum(j + m, cap), cap)].add(-1)
-    inside = jnp.cumsum(cov[:cap]) > 0
+    # covered[j]: j lies inside a picked match (matches are row-fenced, so
+    # the window test never crosses a row boundary)
+    last_start = segments.cummax(jnp.where(picked, j, -1))
+    inside = (last_start >= 0) & (j - last_start < m)
 
     picks_before0 = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
@@ -97,12 +99,14 @@ def _replace_plan(col: StringColumn, p, m: int, bordered: bool, n: int):
     covered_before0 = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(inside.astype(jnp.int32))]
     )
-    row_start = col.offsets[:-1][rows]
-    picks_in_row = picks_before0[:cap] - picks_before0[row_start]
-    covered_in_row = covered_before0[:cap] - covered_before0[row_start]
-    picks_per_row = (
-        jnp.zeros(col.size, jnp.int32).at[rows].add(picked.astype(jnp.int32))
+    row_start = segments.row_start_positions(col.offsets, cap)
+    picks_in_row = picks_before0[:cap] - segments.broadcast_rows_to_bytes(
+        picks_before0[col.offsets[:-1]], col.offsets, cap
     )
+    covered_in_row = covered_before0[:cap] - segments.broadcast_rows_to_bytes(
+        covered_before0[col.offsets[:-1]], col.offsets, cap
+    )
+    picks_per_row = segments.per_row_of_prefix(picks_before0, col.offsets)
     return picked, inside, picks_in_row, covered_in_row, picks_per_row, row_start
 
 
@@ -111,12 +115,11 @@ def _replace_write(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
     picked, inside, picks_in_row, covered_in_row, picks_per_row, row_start = plan
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    rows = layout.row_ids_from_offsets(col.offsets, cap)
     lens = col.lengths()
     sizes = lens + picks_per_row * (rl - m)
     out_offsets = cumsum0(sizes)
     out_pos = (
-        out_offsets[:-1][rows]
+        segments.broadcast_rows_to_bytes(out_offsets[:-1], col.offsets, cap)
         + (j - row_start)
         - covered_in_row
         + picks_in_row * rl
@@ -126,9 +129,24 @@ def _replace_write(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
     data = data.at[jnp.where(keep, out_pos, bcap)].set(
         jnp.where(keep, col.data, jnp.uint8(0))
     )
-    for t in range(rl):
-        data = data.at[jnp.where(picked, out_pos + t, bcap + t)].set(
-            jnp.where(picked, r[t], jnp.uint8(0))
+    # replacement bytes in one scatter: picked j covers out positions
+    # [out_pos, out_pos+rl); scatter the start byte then propagate the
+    # remaining rl-1 bytes elementwise from the start-distance.
+    if rl:
+        start_mark = jnp.full(bcap + max(rl, 1), -1, jnp.int32).at[
+            jnp.where(picked, out_pos, bcap)
+        ].max(jnp.where(picked, out_pos, -1))
+        q = jnp.arange(bcap, dtype=jnp.int32)
+        last_out_start = segments.cummax(start_mark[:bcap])
+        doff = q - last_out_start
+        in_rep = (last_out_start >= 0) & (doff < rl)
+        rep = _small_lookup(r, doff, rl)
+        data = jnp.where(
+            jnp.concatenate(
+                [in_rep, jnp.zeros(max(rl, 1), jnp.bool_)]
+            ),
+            jnp.concatenate([rep, jnp.zeros(max(rl, 1), jnp.uint8)]),
+            data,
         )
     return data[:bcap], out_offsets
 
@@ -169,7 +187,7 @@ def _replace_write_gather(col: StringColumn, plan, r, m: int, rl: int, bcap: int
     mark = jnp.full(bcap + 1, -1, jnp.int32).at[startq].max(
         jnp.where(picked, out_pos, -1)
     )
-    last_start = jax.lax.associative_scan(jnp.maximum, mark[:bcap])
+    last_start = jax.lax.cummax(mark[:bcap], axis=0)
     in_repl = (last_start >= 0) & (bq - last_start < rl) if rl else jnp.zeros(
         bcap, jnp.bool_
     )
@@ -187,10 +205,50 @@ def _replace_write_gather(col: StringColumn, plan, r, m: int, rl: int, bcap: int
     return data, out_offsets
 
 
+def _small_lookup(r, off, rl: int):
+    """r[off] for a tiny (<=8 byte) table without a capacity-sized gather:
+    a select ladder is pure elementwise work."""
+    if rl > 8:
+        return r[jnp.clip(off, 0, rl - 1)]
+    out = jnp.broadcast_to(r[rl - 1], off.shape)
+    for t in range(rl - 2, -1, -1):
+        out = jnp.where(off <= t, r[t], out)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _replace_same_len(col, p, r, m: int, bordered: bool, n: int):
+    """rl == m: offsets are unchanged and the write is pure elementwise
+    substitution — no scatter, no gather, no new offsets."""
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    row_end = segments.row_end_positions(col.offsets, cap)
+    match = (
+        _match_mask(col.data, p)
+        & (j + m <= row_end)
+        & layout.valid_byte_mask(col)
+    )
+    picked = _greedy_select(match, m, bordered)
+    if n >= 0:
+        pk0 = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+        )
+        base = segments.broadcast_rows_to_bytes(
+            pk0[col.offsets[:-1]], col.offsets, cap
+        )
+        picked = picked & (pk0[:cap] - base < n)
+    last_start = segments.cummax(jnp.where(picked, j, -1))
+    inside = (last_start >= 0) & (j - last_start < m)
+    rep = _small_lookup(r, j - last_start, m)
+    return jnp.where(inside, rep, col.data), col.offsets
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _replace_full(col, p, r, m: int, rl: int, bordered: bool, n: int, bcap: int):
     """Single fused program: plan + write (keeps all intermediates inside
     one XLA program — cross-program buffers are costly on the relay)."""
+    if rl == m and bcap == col.capacity:
+        return _replace_same_len(col, p, r, m, bordered, n)
     plan = _replace_plan(col, p, m, bordered, n)
     return _replace_write(col, plan, r, m, rl, bcap)
 

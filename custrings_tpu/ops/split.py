@@ -31,7 +31,7 @@ from ..column import (
     row_ids_from_offsets,
 )
 from ..config import bucket_bytes
-from . import layout
+from . import layout, segments
 from .find import _match_mask, _pat_array
 from .modify import _greedy_select, _has_border
 
@@ -99,8 +99,8 @@ def _ragged_extents(col, body_fn, static_args, tcap, *args):
 def _ragged_write(col, starts, byte_off, bcap):
     from ..column import materialize_bytes
 
-    def produce(trows, k, valid):
-        return layout.gather_bytes(col.data, starts[trows] + k)
+    def produce(trows, k, valid, bcast):
+        return layout.gather_bytes(col.data, bcast(starts) + k)
 
     return materialize_bytes(byte_off, bcap, produce)
 
@@ -116,8 +116,8 @@ def _ragged_full(col, body_fn, static_args, tcap, bcap, *args):
     byte_off = cumsum0(sizes)
     from ..column import materialize_bytes
 
-    def produce(trows, k, valid):
-        return layout.gather_bytes(col.data, starts[trows] + k)
+    def produce(trows, k, valid, bcast):
+        return layout.gather_bytes(col.data, bcast(starts) + k)
 
     data = materialize_bytes(byte_off, bcap, produce)
     return data, tok_off, byte_off
@@ -176,9 +176,7 @@ def _delim_body(
     p = jnp.asarray(list(pat_b), jnp.uint8)
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    rows = row_ids_from_offsets(col.offsets, cap)
-    row_start = col.offsets[:-1][rows]
-    row_end = col.offsets[1:][rows]
+    row_end = segments.row_end_positions(col.offsets, cap)
     match = (
         _match_mask(col.data, p)
         & (j + m <= row_end)
@@ -193,32 +191,35 @@ def _delim_body(
     else:
         picked = _greedy_select(match, m, bordered)
 
-    n = col.size
-    delims_per_row = (
-        jnp.zeros(n, jnp.int32).at[rows].add(picked.astype(jnp.int32))
+    pk0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
     )
+    delims_per_row = segments.per_row_of_prefix(pk0, col.offsets)
     allowed = maxsplit if maxsplit > 0 else _INF
     used = jnp.minimum(delims_per_row, allowed)
     counts = jnp.where(col.validity, used + 1, 0)
     if tcap is None:
         return counts
 
-    pk0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
-    )
-    rank = pk0[:cap] - pk0[row_start]
+    def bcast(v):
+        return segments.broadcast_rows_to_bytes(v, col.offsets, cap)
+
+    rank = pk0[:cap] - bcast(pk0[col.offsets[:-1]])
     if from_right:
-        used_rank = rank - (delims_per_row[rows] - used[rows])
+        used_rank = rank - bcast(delims_per_row - used)
     else:
         used_rank = rank
-    dused = picked & (used_rank >= 0) & (used_rank < used[rows])
+    if maxsplit > 0 or from_right:
+        dused = picked & (used_rank >= 0) & (used_rank < bcast(used))
+    else:
+        dused = picked  # no quota: every picked delimiter is used
 
     tok_off = cumsum0(counts)
     starts = jnp.zeros(tcap + 1, jnp.int32)
     ends = jnp.zeros(tcap + 1, jnp.int32)
     first_tok = jnp.where(col.validity, tok_off[:-1], tcap)
     starts = starts.at[first_tok].set(col.offsets[:-1])
-    tbase = tok_off[:-1][rows]
+    tbase = bcast(tok_off[:-1])
     starts = starts.at[jnp.where(dused, tbase + used_rank + 1, tcap)].set(j + m)
     ends = ends.at[jnp.where(dused, tbase + used_rank, tcap)].set(j)
     last_tok = jnp.where(col.validity, tok_off[1:] - 1, tcap)
@@ -226,11 +227,116 @@ def _delim_body(
     return counts, starts[:tcap], ends[:tcap]
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _delim_full_bd(
+    col: StringColumn, tcap: int, bcap: int, delim: str, maxsplit: int,
+    from_right: bool,
+):
+    """Fused byte-domain delimiter split: ONE program -> (data, tok_off,
+    byte_off), with exactly two capacity-sized scatters (output compaction
+    and token-end marks).  The extents formulation (_delim_body +
+    _ragged_full) needed four capacity-sized scatters plus a capacity-sized
+    gather — measured 152 ms at 16k rows/3.7 MB on v5e vs ~70 ms for this.
+
+    Matches split.cu:125-220 semantics (empty string -> one empty token,
+    null -> none, maxsplit keeps unused delimiters inside the tail token).
+    """
+    pat_b = delim.encode("utf-8")
+    m = len(pat_b)
+    p = jnp.asarray(list(pat_b), jnp.uint8)
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    row_end = segments.row_end_positions(col.offsets, cap)
+    match = (
+        _match_mask(col.data, p)
+        & (j + m <= row_end)
+        & layout.valid_byte_mask(col)
+    )
+    bordered = _has_border(pat_b)
+    if from_right and bordered:
+        revm = jnp.roll(jnp.flip(match), -(m - 1))
+        picked = jnp.roll(jnp.flip(_greedy_select(revm, m, True)), -(m - 1))
+    else:
+        picked = _greedy_select(match, m, bordered)
+
+    pk0 = cumsum0(picked)
+    delims_per_row = segments.per_row_of_prefix(pk0, col.offsets)
+    allowed = maxsplit if maxsplit > 0 else _INF
+    used = jnp.minimum(delims_per_row, allowed)
+    counts = jnp.where(col.validity, used + 1, 0)
+    tok_off = cumsum0(counts)
+
+    def bcast(v):
+        return segments.broadcast_rows_to_bytes(v, col.offsets, cap)
+
+    if maxsplit > 0 or from_right:
+        rank = pk0[:cap] - bcast(pk0[col.offsets[:-1]])
+        if from_right:
+            rank = rank - bcast(delims_per_row - used)
+        dused = picked & (rank >= 0) & (rank < bcast(used))
+    else:
+        dused = picked  # no quota: every picked delimiter is used
+
+    if m == 1:
+        inside = dused
+    else:
+        last_d = segments.cummax(jnp.where(dused, j, -1))
+        inside = (last_d >= 0) & (j - last_d < m)
+    # null rows may still own bytes in the buffer but contribute no tokens
+    keep = (
+        layout.valid_byte_mask(col)
+        & ~inside
+        & (bcast(col.validity.astype(jnp.int32)) == 1)
+    )
+
+    # output bytes: compact kept bytes (scatter #1)
+    k0 = cumsum0(keep)
+    data = (
+        jnp.zeros(bcap + 1, jnp.uint8)
+        .at[jnp.where(keep, k0[:cap], bcap)]
+        .set(jnp.where(keep, col.data, jnp.uint8(0)))[:bcap]
+    )
+
+    # token id of each byte; token-end marks (scatter #2) + cummax fill
+    u0 = cumsum0(dused)
+    urank = u0[:cap] - bcast(u0[col.offsets[:-1]])
+    tid = bcast(tok_off[:-1]) + urank
+    e = (
+        jnp.zeros(tcap + 1, jnp.int32)
+        .at[jnp.where(keep, tid, tcap)]
+        .max(jnp.where(keep, k0[:cap] + 1, 0))[:tcap]
+    )
+    byte_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), segments.cummax(e)]
+    )
+    return data, tok_off, byte_off
+
+
 def _delim_split(
     col: StringColumn, delim: str, maxsplit: int, from_right: bool
 ) -> TokenColumn:
     if len(delim) == 0:
         raise ValueError("empty delimiter")
+    from ..column import BOUND_SYNC_THRESHOLD
+
+    tok_bound = col.capacity + col.size
+    if (
+        col.size
+        and tok_bound * 8 <= BOUND_SYNC_THRESHOLD
+        and col.capacity <= BOUND_SYNC_THRESHOLD
+    ):
+        tcap = bucket_bytes(tok_bound)
+        bcap = col.capacity
+        data, tok_off, byte_off = _delim_full_bd(
+            col, tcap, bcap, delim, maxsplit, from_right
+        )
+        total_tokens = int(tok_off[-1])
+        tokens = StringColumn(
+            data,
+            byte_off[: total_tokens + 1],
+            jnp.ones(total_tokens, jnp.bool_),
+        )
+        return TokenColumn(tokens, tok_off, col.validity)
     return run_ragged(
         _delim_body, col, static_args=(delim, maxsplit, from_right)
     )

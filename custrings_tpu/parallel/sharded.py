@@ -37,7 +37,7 @@ def _char_matrix_pure(data, offsets, width: int):
     from ..ops import layout
 
     cs0, char_offsets, char_pos = layout._char_map(data, offsets)
-    cps = layout._codepoints(data, char_pos, data.shape[0])
+    cps = layout._codepoints(data, char_pos)
     nch = char_offsets[1:] - char_offsets[:-1]
     ncap = cps.shape[0]
     j = jnp.arange(width, dtype=jnp.int32)[None, :]

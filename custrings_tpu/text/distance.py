@@ -51,7 +51,7 @@ def _ed_scalar_mat(mat, nch, validity, tgt, tlen: int) -> jax.Array:
             [jnp.full((n, 1), ti + 1, jnp.int32), seed], axis=1
         )
         shifted = seed - j  # min-scan of (seed[k]-k) then add k back
-        runmin = jax.lax.associative_scan(jnp.minimum, shifted, axis=1)
+        runmin = jax.lax.cummin(shifted, axis=1)
         cur = runmin + j
         return cur, None
 
@@ -102,7 +102,7 @@ def edit_distance_pairwise(col: StringColumn, other: StringColumn) -> jax.Array:
             [jnp.full((n, 1), ti + 1, jnp.int32), seed], axis=1
         )
         shifted = seed - j
-        runmin = jax.lax.associative_scan(jnp.minimum, shifted, axis=1)
+        runmin = jax.lax.cummin(shifted, axis=1)
         cur = runmin + j
         cur = jnp.where(active, cur, prev)
         return cur, None
