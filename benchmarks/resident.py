@@ -64,7 +64,8 @@ def build_resident_loop(
       split_record  -> split._ragged_full(_delim_body)
       categorize    -> unique._encode_sorted         (production width)
     """
-    dp = rx.get_program(pattern)
+    use_pnfa = rx._use_pallas_nfa(pattern)
+    dp = rx._get_pallas_nfa(pattern) if use_pnfa else rx.get_program(pattern)
     m, rl = len(pat), len(repl)
     assert rl <= m, "resident replace uses the shrink-safe static bound"
     bordered = modify._has_border(pat)
@@ -85,8 +86,8 @@ def build_resident_loop(
             c = StringColumn(d, offsets, validity)
             layout.set_row_nonascii_hint(c, na_rows)
             # -- contains_re --------------------------------------------
-            chars, nch = layout.char_matrix(c, cm_width)
-            hits = dp.nfa_matches(chars, nch, False) & c.validity
+            layout._cache(c)["max_row_bytes"] = cm_width
+            hits = rx.contains_re(c, pattern)
             # -- replace (literal, shrink-safe) -------------------------
             rdata, roffs = modify._replace_full(
                 c, p, r, m, rl, bordered, -1, bcap
@@ -159,7 +160,8 @@ def measure(lines, K: int = 24):
 
 def build_op_loop(col: StringColumn, which: str):
     """Single-op resident loop (per-op breakdown of the pipeline time)."""
-    dp = rx.get_program(r"#\w+")
+    use_pnfa = rx._use_pallas_nfa(r"#\w+")
+    dp = rx._get_pallas_nfa(r"#\w+") if use_pnfa else rx.get_program(r"#\w+")
     p = modify._pat_array(b"the")
     r = modify._pat_array(b"THE")
     bordered = modify._has_border(b"the")
@@ -178,8 +180,8 @@ def build_op_loop(col: StringColumn, which: str):
             c = StringColumn(d, offsets, validity)
             layout.set_row_nonascii_hint(c, na_rows)
             if which == "contains":
-                chars, nch = layout.char_matrix(c, cm_width)
-                hits = dp.nfa_matches(chars, nch, False)
+                layout._cache(c)["max_row_bytes"] = cm_width
+                hits = rx.contains_re(c, r"#\w+")
                 acc = acc + jnp.sum(hits.astype(jnp.int32))
             elif which == "charmatrix":
                 chars, nch = layout.char_matrix(c, cm_width)

@@ -30,8 +30,8 @@ def _gather_impl(col: StringColumn, idx: jax.Array, capacity: int):
     validity = col.validity[idx]
     out_offsets = cumsum0(sizes)
 
-    def produce(rows, k, valid):
-        return layout.gather_bytes(col.data, starts[rows] + k)
+    def produce(rows, k, valid, bcast):
+        return layout.gather_bytes(col.data, bcast(starts) + k)
 
     from ..column import materialize_bytes
 

@@ -69,16 +69,17 @@ def _cat_body(
 
     lstart, rstart = col.offsets[:-1], others.offsets[:-1]
 
-    def produce(rows, k, valid):
-        ls, rs = lsz[rows], rsz[rows]
-        lv, rv = lval[rows], rval[rows]
+    def produce(rows, k, valid, bcast):
+        ls, rs = bcast(lsz), bcast(rsz)
+        lv = bcast(lval.astype(jnp.int32)) == 1
+        rv = bcast(rval.astype(jnp.int32)) == 1
         # regions: [0,ls) left, [ls,ls+sep_n) sep, [ls+sep_n, ...) right
         in_left = k < ls
         in_sep = (k >= ls) & (k < ls + sep_n)
         kl = jnp.clip(k, 0, None)
         left_b = jnp.where(
             lv,
-            layout.gather_bytes(col.data, lstart[rows] + kl),
+            layout.gather_bytes(col.data, bcast(lstart) + kl),
             nar_a[jnp.clip(kl, 0, max(nar_n - 1, 0))] if nar_n else jnp.uint8(0),
         )
         ks = jnp.clip(k - ls, 0, max(sep_n - 1, 0))
@@ -86,7 +87,7 @@ def _cat_body(
         kr = jnp.clip(k - ls - sep_n, 0, None)
         right_b = jnp.where(
             rv,
-            layout.gather_bytes(others.data, rstart[rows] + kr),
+            layout.gather_bytes(others.data, bcast(rstart) + kr),
             nar_a[jnp.clip(kr, 0, max(nar_n - 1, 0))] if nar_n else jnp.uint8(0),
         )
         return jnp.where(in_left, left_b, jnp.where(in_sep, sep_b, right_b))

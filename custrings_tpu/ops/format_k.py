@@ -70,8 +70,10 @@ def itos_device(values, validity) -> StringColumn:
     nd = _ndigits_u64(a)
     sizes = jnp.where(validity, nd + neg.astype(jnp.int32), 0)
 
-    def produce(rows, k, valid):
-        ar, negr, ndr = a[rows], neg[rows], nd[rows]
+    def produce(rows, k, valid, bcast):
+        ar = a[rows]  # int64 digits exceed the int32 broadcast primitive
+        negr = bcast(neg.astype(jnp.int32)) == 1
+        ndr = bcast(nd)
         kk = k - negr.astype(jnp.int32)
         digit = _digit_at(ar, ndr - 1 - kk)
         ch = jnp.where(
@@ -134,8 +136,8 @@ def from_booleans_device(values, true: str, false: str, validity) -> StringColum
     lens = jnp.where(v, len(tb), len(fb)).astype(jnp.int32)
     sizes = jnp.where(validity, lens, 0)
 
-    def produce(rows, k, valid):
-        sel = v[rows].astype(jnp.int32)
+    def produce(rows, k, valid, bcast):
+        sel = bcast(v.astype(jnp.int32))
         return table_j[sel, jnp.clip(k, 0, w - 1)]
 
     return build_column(sizes, validity, produce)

@@ -348,6 +348,8 @@ def length_buckets(
     key = ("length_buckets", max_buckets, gain)
     if key in c:
         return c[key]
+    if isinstance(col.data, jax.core.Tracer):
+        return None  # host stats unavailable inside a traced program
     res = None
     n = col.size
     if n >= min_rows:

@@ -294,13 +294,13 @@ def fillna_scalar(col: StringColumn, repl: str) -> StringColumn:
     sizes = jnp.where(col.validity, lens, len(b))
     starts = col.offsets[:-1]
 
-    def produce(rows, k, valid):
-        src = layout.gather_bytes(col.data, starts[rows] + k)
+    def produce(rows, k, valid, bcast):
+        src = layout.gather_bytes(col.data, bcast(starts) + k)
         if len(b):
             rbyte = rb[jnp.clip(k, 0, len(b) - 1)]
         else:
             rbyte = jnp.uint8(0)
-        return jnp.where(col.validity[rows], src, rbyte)
+        return jnp.where(bcast(col.validity.astype(jnp.int32)) == 1, src, rbyte)
 
     return build_column(sizes, jnp.ones(col.size, jnp.bool_), produce)
 
@@ -314,10 +314,10 @@ def fillna_column(col: StringColumn, repl: StringColumn) -> StringColumn:
     validity = jnp.where(use_repl, repl.validity, col.validity)
     starts, rstarts = col.offsets[:-1], repl.offsets[:-1]
 
-    def produce(rows, k, valid):
-        a = layout.gather_bytes(col.data, starts[rows] + k)
-        b = layout.gather_bytes(repl.data, rstarts[rows] + k)
-        return jnp.where(use_repl[rows], b, a)
+    def produce(rows, k, valid, bcast):
+        a = layout.gather_bytes(col.data, bcast(starts) + k)
+        b = layout.gather_bytes(repl.data, bcast(rstarts) + k)
+        return jnp.where(bcast(use_repl.astype(jnp.int32)) == 1, b, a)
 
     return build_column(sizes, validity, produce)
 
@@ -354,13 +354,13 @@ def slice_replace(
     sizes = head + rl + tail
     starts = col.offsets[:-1]
 
-    def produce(rows, k, valid):
-        h = head[rows]
+    def produce(rows, k, valid, bcast):
+        h = bcast(head)
         in_head = k < h
         in_repl = (k >= h) & (k < h + rl)
-        head_b = layout.gather_bytes(col.data, starts[rows] + k)
+        head_b = layout.gather_bytes(col.data, bcast(starts) + k)
         rep_b = rb[jnp.clip(k - h, 0, max(rl - 1, 0))] if rl else jnp.uint8(0)
-        tail_b = layout.gather_bytes(col.data, eb[rows] + jnp.clip(k - h - rl, 0, None))
+        tail_b = layout.gather_bytes(col.data, bcast(eb) + jnp.clip(k - h - rl, 0, None))
         return jnp.where(in_head, head_b, jnp.where(in_repl, rep_b, tail_b))
 
     return build_column(sizes, col.validity, produce)

@@ -20,8 +20,8 @@ def _repeat_body(col: StringColumn, reps):
     sizes = lens * reps
     starts = col.offsets[:-1]
 
-    def produce(rows, k, valid):
-        src = starts[rows] + k % jnp.maximum(lens[rows], 1)
+    def produce(rows, k, valid, bcast):
+        src = bcast(starts) + k % jnp.maximum(bcast(lens), 1)
         return layout.gather_bytes(col.data, src)
 
     return sizes, col.validity, produce
@@ -58,13 +58,13 @@ def _pad_body(col: StringColumn, width, fill, fb: int, side: str):
     sizes = lens + pad * fb
     starts = col.offsets[:-1]
 
-    def produce(rows, k, valid):
-        lp = lpad[rows] * fb
-        body = lens[rows]
+    def produce(rows, k, valid, bcast):
+        lp = bcast(lpad) * fb
+        body = bcast(lens)
         in_body = (k >= lp) & (k < lp + body)
         fill_b = fill[k % fb]
         src = layout.gather_bytes(
-            col.data, starts[rows] + jnp.clip(k - lp, 0, None)
+            col.data, bcast(starts) + jnp.clip(k - lp, 0, None)
         )
         return jnp.where(in_body, src, fill_b)
 
@@ -108,16 +108,16 @@ def _zfill_body(col: StringColumn, width):
     first = layout.gather_bytes(col.data, starts)
     has_sign = ((first == ord("+")) | (first == ord("-"))) & (lens > 0)
 
-    def produce(rows, k, valid):
-        sign = has_sign[rows]
-        p = pad_n[rows]
+    def produce(rows, k, valid, bcast):
+        sign = bcast(has_sign.astype(jnp.int32)) == 1
+        p = bcast(pad_n)
         # regions: [0, sign) sign byte, [sign, sign+p) zeros, then rest
-        sgn_b = layout.gather_bytes(col.data, starts[rows])
+        sgn_b = layout.gather_bytes(col.data, bcast(starts))
         in_sign = sign & (k == 0)
         zero_end = jnp.where(sign, 1, 0) + p
         in_zero = (~in_sign) & (k < zero_end)
         src_k = k - p
-        src = layout.gather_bytes(col.data, starts[rows] + jnp.clip(src_k, 0, None))
+        src = layout.gather_bytes(col.data, bcast(starts) + jnp.clip(src_k, 0, None))
         return jnp.where(
             in_sign, sgn_b, jnp.where(in_zero, jnp.uint8(ord("0")), src)
         )

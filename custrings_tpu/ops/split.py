@@ -60,8 +60,8 @@ def _tokens_from_extents(col, tok_off, starts, ends, total_tokens):
     tvalid = jnp.arange(tcap, dtype=jnp.int32) < total_tokens
     sizes = jnp.where(tvalid, ends - starts, 0)
 
-    def produce(trows, k, valid):
-        return layout.gather_bytes(col.data, starts[trows] + k)
+    def produce(trows, k, valid, bcast):
+        return layout.gather_bytes(col.data, bcast(starts) + k)
 
     tokens = build_column(sizes, tvalid, produce)
     tokens = StringColumn(
@@ -360,7 +360,10 @@ def _ws_body(col: StringColumn, tcap, maxsplit: int, from_right: bool):
     wend = non_ws & (next_row_first | ~next_non_ws)
 
     n = col.size
-    words = jnp.zeros(n, jnp.int32).at[crows].add(wstart.astype(jnp.int32))
+    ws0_pre = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(wstart.astype(jnp.int32))]
+    )
+    words = segments.per_row_of_prefix(ws0_pre, cm.char_offsets)
     T = maxsplit + 1 if maxsplit > 0 else _INF
     counts = jnp.where(col.validity, jnp.minimum(jnp.maximum(words, 1), T), 0)
     if tcap is None:
@@ -370,15 +373,15 @@ def _ws_body(col: StringColumn, tcap, maxsplit: int, from_right: bool):
     # (split.cu:225-260 examples)
     over = words >= T
 
-    ws0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(wstart.astype(jnp.int32))]
-    )
+    def bcast(v):
+        return segments.broadcast_rows_to_bytes(v, cm.char_offsets, ncap)
+
+    ws0 = ws0_pre
     we0 = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(wend.astype(jnp.int32))]
     )
-    row_char_start = cm.char_offsets[:-1][crows]
-    ws_rank = ws0[:ncap] - ws0[row_char_start]
-    we_rank = we0[:ncap] - we0[row_char_start]
+    ws_rank = ws0[:ncap] - bcast(ws0[cm.char_offsets[:-1]])
+    we_rank = we0[:ncap] - bcast(we0[cm.char_offsets[:-1]])
 
     cpos = cm.char_pos
     cw = layout.char_width_from_lead(
@@ -388,18 +391,20 @@ def _ws_body(col: StringColumn, tcap, maxsplit: int, from_right: bool):
     tok_off = cumsum0(counts)
     starts = jnp.zeros(tcap + 1, jnp.int32)
     ends = jnp.zeros(tcap + 1, jnp.int32)
-    tbase = tok_off[:-1][crows]
+    tbase = bcast(tok_off[:-1])
+    counts_b = bcast(counts)
+    over_b = bcast(over.astype(jnp.int32)) == 1
 
     if not from_right:
         ti_s = ws_rank
-        sel_s = wstart & (ti_s < counts[crows])
+        sel_s = wstart & (ti_s < counts_b)
         starts = starts.at[jnp.where(sel_s, tbase + ti_s, tcap)].set(cpos[c])
         ti_e = we_rank
-        sel_e = wend & (ti_e < counts[crows] - 1)
+        sel_e = wend & (ti_e < counts_b - 1)
         ends = ends.at[jnp.where(sel_e, tbase + ti_e, tcap)].set(
             cpos[c] + cw[c]
         )
-        sel_last = wend & (ti_e == counts[crows] - 1) & ~over[crows]
+        sel_last = wend & (ti_e == counts_b - 1) & ~over_b
         ends = ends.at[jnp.where(sel_last, tbase + ti_e, tcap)].set(
             cpos[c] + cw[c]
         )
@@ -408,14 +413,14 @@ def _ws_body(col: StringColumn, tcap, maxsplit: int, from_right: bool):
             col.offsets[1:]
         )
     else:
-        shift = words[crows] - counts[crows]
+        shift = bcast(words) - counts_b
         ti_s = ws_rank - shift
-        sel_s = wstart & (ti_s >= jnp.where(over[crows], 1, 0)) & (
-            ti_s < counts[crows]
+        sel_s = wstart & (ti_s >= jnp.where(over_b, 1, 0)) & (
+            ti_s < counts_b
         )
         starts = starts.at[jnp.where(sel_s, tbase + ti_s, tcap)].set(cpos[c])
         ti_e = we_rank - shift
-        sel_e = wend & (ti_e >= 0) & (ti_e < counts[crows])
+        sel_e = wend & (ti_e >= 0) & (ti_e < counts_b)
         ends = ends.at[jnp.where(sel_e, tbase + ti_e, tcap)].set(
             cpos[c] + cw[c]
         )
@@ -475,8 +480,8 @@ def _mask_column(col: StringColumn, valid: jax.Array) -> StringColumn:
     sizes = jnp.where(valid, col.lengths(), 0)
     starts = col.offsets[:-1]
 
-    def produce(rows, k, vmask):
-        return layout.gather_bytes(col.data, starts[rows] + k)
+    def produce(rows, k, vmask, bcast):
+        return layout.gather_bytes(col.data, bcast(starts) + k)
 
     return build_column(sizes, col.validity & valid, produce)
 
@@ -546,10 +551,10 @@ def _partition_body(col: StringColumn, delim: str, from_right: bool, part: int):
         start = col.offsets[:-1]
         sizes = jnp.where(col.validity & found, m, 0)
 
-    def produce(rows, k, valid):
+    def produce(rows, k, valid, bcast):
         if part == 1:
             return darr[jnp.clip(k, 0, max(m - 1, 0))]
-        return layout.gather_bytes(col.data, start[rows] + k)
+        return layout.gather_bytes(col.data, bcast(start) + k)
 
     return sizes, col.validity, produce
 

@@ -81,8 +81,8 @@ def _slice_body(col: StringColumn, starts, stops, raw: bool):
     cm, s, e, sb, eb = _char_window(col, starts, stops, raw)
     sizes = eb - sb
 
-    def produce(rows, k, valid):
-        return layout.gather_bytes(col.data, sb[rows] + k)
+    def produce(rows, k, valid, bcast):
+        return layout.gather_bytes(col.data, bcast(sb) + k)
 
     return sizes, col.validity, produce
 

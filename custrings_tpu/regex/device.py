@@ -197,18 +197,53 @@ class DeviceProgram:
         start[prog.start_ids] = True
         self.start_vec = jnp.asarray(start)
         self.groups_count = prog.groups_count
+        # ASCII fast path: per-class membership over codepoints 0..127
+        # packed into 4 uint32 words, evaluated with compares + shifts
+        # instead of the 64K-table gather (capacity-sized gathers cost
+        # ~25 ms at 4M chars on v5e; the packed-bit test is elementwise)
+        tab128 = class_match_table(prog)[:, :128]
+        packs = np.zeros((tab128.shape[0], 4), np.uint32)
+        for w in range(4):
+            for b in range(32):
+                packs[:, w] |= tab128[:, w * 32 + b].astype(
+                    np.uint32
+                ) << np.uint32(b)
+        self.cls_ascii = jnp.asarray(packs)
+        flags_h, _ = host_tables()
+        al128 = (flags_h[:128].astype(np.int64) & FLAG_ALPHANUM) > 0
+        alp = np.zeros(4, np.uint32)
+        for w in range(4):
+            for b in range(32):
+                alp[w] |= al128[w * 32 + b].astype(np.uint32) << np.uint32(b)
+        self.alnum_ascii = jnp.asarray(alp)
 
     # ---------------- shared helpers ----------------
 
-    def _ctx_bits(self, prev_c, cur_c, is_bos):
-        flags, _ = device_tables()
+    @staticmethod
+    def _lut128_hit(c, lut4):
+        """bit c of a 128-bit set packed into 4 uint32 words; caller must
+        guarantee 0 <= c < 128 (pure compares + shifts — no gather)."""
+        sh = (c & 31).astype(jnp.uint32)
+        word = jnp.where(
+            c < 32,
+            lut4[0],
+            jnp.where(c < 64, lut4[1], jnp.where(c < 96, lut4[2], lut4[3])),
+        )
+        return ((word >> sh) & jnp.uint32(1)) > 0
 
-        def alnum(c):
-            # word-boundary uses IS_ALPHANUM only (regexec.inl:323-329)
-            safe = jnp.clip(c, 0, flags.shape[0] - 1)
-            return (c > 0) & (c < flags.shape[0]) & (
-                (flags[safe].astype(jnp.int32) & FLAG_ALPHANUM) > 0
-            )
+    def _ctx_bits(self, prev_c, cur_c, is_bos, ascii: bool = False):
+        if ascii:
+            def alnum(c):
+                return (c > 0) & self._lut128_hit(c, self.alnum_ascii)
+        else:
+            flags, _ = device_tables()
+
+            def alnum(c):
+                # word-boundary uses IS_ALPHANUM only (regexec.inl:323-329)
+                safe = jnp.clip(c, 0, flags.shape[0] - 1)
+                return (c > 0) & (c < flags.shape[0]) & (
+                    (flags[safe].astype(jnp.int32) & FLAG_ALPHANUM) > 0
+                )
 
         wb = alnum(prev_c) != alnum(cur_c)
         ctx = (
@@ -220,7 +255,7 @@ class DeviceProgram:
         )
         return ctx
 
-    def _char_pred(self, c):
+    def _char_pred(self, c, ascii: bool = False):
         """bool[..., I]: does char c satisfy each consuming inst?"""
         types, args = self.types, self.args
         cE = c[..., None]
@@ -229,7 +264,7 @@ class DeviceProgram:
         is_anynl = types == ANYNL
         is_cc = types == CCLASS
         is_ncc = types == NCCLASS
-        in_class = self._class_membership(c)  # [..., n_classes]
+        in_class = self._class_membership(c, ascii)  # [..., n_classes]
         cls_id = jnp.clip(args, 0, self.class_tab.shape[0] - 1)
         cls_hit = in_class[..., cls_id]
         pred = (
@@ -242,14 +277,23 @@ class DeviceProgram:
         # sentinel consumes nothing
         return pred & (cE != 0)
 
-    def _class_membership(self, c):
+    def _class_membership(self, c, ascii: bool = False):
         """bool[..., n_classes] for char(s) c.
 
         BMP chars use the precomputed 64K table (ranges + builtins); chars
         >= 0x10000 compare against the explicit ranges at full codepoint
         width, builtins no-match — exactly dreclass::is_match
         (regexec.inl:127-154: range loop first, then `uni > 0xFFFF ->
-        false` before any builtin test)."""
+        false` before any builtin test).
+
+        ascii=True (caller guarantees every c < 128): packed-bit LUT test,
+        no table gather."""
+        if ascii:
+            hits = [
+                self._lut128_hit(c, self.cls_ascii[k])
+                for k in range(self.cls_ascii.shape[0])
+            ]
+            return jnp.stack(hits, axis=-1)
         safe = jnp.clip(c, 0, 65535)
         hit = self.class_tab[:, safe]  # [n_classes, ...]
         hit = jnp.moveaxis(hit, 0, -1)
@@ -263,11 +307,14 @@ class DeviceProgram:
 
     # ---------------- executor A: boolean ----------------
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def nfa_matches(self, chars, lengths, anchored: bool):
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def nfa_matches(self, chars, lengths, anchored: bool, ascii: bool = False):
         """bool[rows]: does the pattern match anywhere (anchored: at 0)?
 
         chars: int32[rows, L] codepoints (0-padded); lengths int32[rows].
+        ascii=True: caller guarantees every codepoint < 128; class and
+        word-boundary predicates use packed-bit LUTs instead of table
+        gathers (the gathers dominate the whole op on TPU).
         """
         N, L = chars.shape
         # derive all-False init from the inputs so the carry picks up any
@@ -294,7 +341,7 @@ class DeviceProgram:
                 # context insts (\B$) see a spurious prev=0 position
                 inject = ~matched & (p <= lengths)
             state = state | (self.start_vec[None, :] & inject[:, None])
-            ctx = self._ctx_bits(prev, cur, jnp.full(N, p == 0))
+            ctx = self._ctx_bits(prev, cur, jnp.full(N, p == 0), ascii)
             uid = self.ctx_map[ctx]  # [N] unique-closure index
             # one matmul per UNIQUE closure matrix (usually 1), then select
             sf = state.astype(jnp.float32)
@@ -305,7 +352,7 @@ class DeviceProgram:
                 ) > 0
                 closed = jnp.where((uid == k)[:, None], ck, closed)
             matched = matched | jnp.any(closed & self.is_end[None, :], axis=1)
-            pred = self._char_pred(cur)  # [N, I]
+            pred = self._char_pred(cur, ascii)  # [N, I]
             fire = (closed & pred).astype(jnp.float32)
             state = (fire @ self.next_mat.astype(jnp.float32)) > 0
             return state, matched

@@ -82,25 +82,36 @@ def _matches(col: StringColumn, pattern: str, anchored: bool) -> jax.Array:
     """Bucketed boolean-match driver: each length class runs the engine at
     its own padded width; results scatter back by row id.  Length classes
     past the chunk threshold use the chunked transfer-matrix engine
-    (device.py nfa_matches_chunked) so one huge row stops serializing."""
+    (device.py nfa_matches_chunked) so one huge row stops serializing.
+
+    ASCII-dominant columns run the whole engine with packed-bit LUT
+    predicates (no 64K-table gathers — those dominate the op on TPU) and
+    re-run only the non-ASCII rows through the general engine."""
     pallas = _use_pallas_nfa(pattern)
     dp = _get_pallas_nfa(pattern) if pallas else get_program(pattern)
     xdp = get_program(pattern)
     thresh = _chunk_threshold()
 
-    def engine(chars, nch):
+    def engine(chars, nch, ascii=False):
         width = int(chars.shape[1])
         if width >= thresh:
             return xdp.nfa_matches_chunked(
                 chars, nch, anchored, _chunk_size(width)
             )
         if pallas:
-            return dp.matches(chars, nch, anchored)
-        return xdp.nfa_matches(chars, nch, anchored)
+            return dp.matches(chars, nch, anchored, ascii)
+        return xdp.nfa_matches(chars, nch, anchored, ascii)
 
     bks = _buckets(col)
     if bks is None:
         chars, nch = _mats(col)
+        na = layout.row_nonascii_ids(col)
+        if na is not None and len(na) * 8 <= max(col.size, 1):
+            m = engine(chars, nch, ascii=True)
+            if len(na):
+                nad = jnp.asarray(na, jnp.int32)
+                m = m.at[nad].set(engine(chars[nad], nch[nad]))
+            return m & col.validity
         return engine(chars, nch) & col.validity
     out = jnp.zeros(col.size + 1, jnp.bool_)
     for bk in bks:

@@ -43,16 +43,15 @@ VMEM_TABLE_BUDGET = 6 * 1024 * 1024  # closure variants must fit in VMEM
 def _kernel_factory(U, I, PI, W32, anchored):
     def kernel(*refs):
         from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
 
         (
-            chars_ref,  # [T, L] int32
+            chars_ref,  # [L, T] int32 (POSITION-major: step p reads row p)
             lens2_ref,  # [G, T] int32 (full; row = program_id)
-            *memb_refs,  # W32 x [T, L] uint32 per-position class-pred
+            *memb_refs,  # W32 x [L, T] uint32 per-position class-pred
             #             bitmask planes (plane w bit b = inst w*32+b)
         ) = refs[: 2 + W32]
         (
-            uid_ref,  # [T, L+1] int32: closure-variant id per position
+            uid_ref,  # [L+1, T] int32: closure-variant id per position
             closure_ref,  # [U*PI, PI] f32 (rank-3 flattened; static slices)
             next_ref,  # [PI, PI] f32
             isend_ref,  # [1, PI] f32
@@ -63,7 +62,7 @@ def _kernel_factory(U, I, PI, W32, anchored):
         ) = refs[2 + W32 :]
 
         gi = pl.program_id(0)
-        T, L = chars_ref.shape
+        L, T = chars_ref.shape
         lens_v = lens2_ref[pl.ds(gi, 1), :][0, :]
         types = types_ref[:]  # [1, PI]
         args = args_ref[:]
@@ -76,9 +75,14 @@ def _kernel_factory(U, I, PI, W32, anchored):
         shift = (bit_i & 31).astype(jnp.uint32)
 
         def step(p, carry):
-            # rotating buffers: read static column 0, then roll axis 1
-            state, matched, chars_v, uid_v, membs = carry
-            cur = jnp.where(p < lens_v, chars_v[:, 0], 0)  # [T]
+            # position-major reads: O(T) per step, vs the previous design
+            # rolling whole [T, L] buffers each step (O(T*L) -> O(L^2 T)
+            # total, which dominated the kernel)
+            state, matched = carry
+            pc = jnp.minimum(p, L - 1)
+            cur = jnp.where(
+                p < lens_v, chars_ref[pl.ds(pc, 1), :][0, :], 0
+            )  # [T]
             if anchored:
                 inject = ((p == 0) & (matched < 0.5)).astype(jnp.float32)
             else:
@@ -88,7 +92,7 @@ def _kernel_factory(U, I, PI, W32, anchored):
                     jnp.float32
                 )
             state = jnp.maximum(state, start_ref[:] * inject[:, None])
-            uid = uid_v[:, 0]  # [T]
+            uid = uid_ref[pl.ds(p, 1), :][0, :]  # [T]
             if U == 1:
                 closed = jnp.dot(
                     state,
@@ -115,9 +119,8 @@ def _kernel_factory(U, I, PI, W32, anchored):
             curE = cur[:, None]
             memb_word = jnp.zeros((T, PI), jnp.uint32)
             for w in range(W32):
-                memb_word = jnp.where(
-                    word_i == w, membs[w][:, 0][:, None], memb_word
-                )
+                mw = memb_refs[w][pl.ds(pc, 1), :][0, :]
+                memb_word = jnp.where(word_i == w, mw[:, None], memb_word)
             memb_p = ((memb_word >> shift) & jnp.uint32(1)).astype(
                 jnp.int32
             )  # Mosaic has no uint32->f32 cast
@@ -136,26 +139,11 @@ def _kernel_factory(U, I, PI, W32, anchored):
                 ),
                 1.0,
             )
-            return (
-                state,
-                matched,
-                pltpu.roll(chars_v, chars_v.shape[1] - 1, 1),
-                pltpu.roll(uid_v, uid_v.shape[1] - 1, 1),
-                tuple(
-                    pltpu.roll(mv, mv.shape[1] - 1, 1) for mv in membs
-                ),
-            )
+            return state, matched
 
         state0 = jnp.zeros((T, PI), jnp.float32)
         matched0 = jnp.zeros((T,), jnp.float32)
-        init = (
-            state0,
-            matched0,
-            chars_ref[:],
-            uid_ref[:],
-            tuple(m[:] for m in memb_refs),
-        )
-        _, matched, *_ = jax.lax.fori_loop(0, L + 1, step, init)
+        _, matched = jax.lax.fori_loop(0, L + 1, step, (state0, matched0))
         out_ref[pl.ds(gi, 1), :] = (matched > 0.5).astype(jnp.int32)[None, :]
 
     return kernel
@@ -215,8 +203,8 @@ class PallasNFA:
         self.memb_A = jnp.asarray(A)
         self.memb_B = jnp.asarray(B)
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def matches(self, chars, lengths, anchored: bool):
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def matches(self, chars, lengths, anchored: bool, ascii: bool = False):
         from jax.experimental import pallas as pl
 
         N, L = chars.shape
@@ -229,8 +217,9 @@ class PallasNFA:
             lengths = jnp.pad(lengths, (0, pad))
         NP = N + pad
         # precompute per-position per-inst class predicate, bit-packed into
-        # W32 uint32 planes per position (Mosaic only rolls 32-bit data)
-        in_class = self.dp._class_membership(chars)  # [NP, L, n_classes]
+        # W32 uint32 planes per position (Mosaic only rolls 32-bit data);
+        # ascii=True swaps the 64K-table gathers for packed-bit LUT tests
+        in_class = self.dp._class_membership(chars, ascii)
         membw = (
             jnp.tensordot(
                 in_class.astype(jnp.uint32), self.memb_A, axes=([2], [0])
@@ -239,15 +228,21 @@ class PallasNFA:
         )  # [NP, L, W32]
         # precompute the closure-variant id per (row, position incl. the
         # EOS sentinel position L)
-        from ..unicode.tables import FLAG_ALPHANUM, device_tables
+        if ascii:
+            alnum = (
+                (chars > 0)
+                & self.dp._lut128_hit(chars, self.dp.alnum_ascii)
+            ).astype(jnp.int32)
+        else:
+            from ..unicode.tables import FLAG_ALPHANUM, device_tables
 
-        flags, _ = device_tables()
-        safe = jnp.clip(chars, 0, flags.shape[0] - 1)
-        alnum = (
-            (chars > 0)
-            & (chars < flags.shape[0])
-            & ((flags[safe].astype(jnp.int32) & FLAG_ALPHANUM) > 0)
-        ).astype(jnp.int32)
+            flags, _ = device_tables()
+            safe = jnp.clip(chars, 0, flags.shape[0] - 1)
+            alnum = (
+                (chars > 0)
+                & (chars < flags.shape[0])
+                & ((flags[safe].astype(jnp.int32) & FLAG_ALPHANUM) > 0)
+            ).astype(jnp.int32)
         pos = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
         lensE = lengths[:, None]
         curc = jnp.pad(chars, ((0, 0), (0, 1)))
@@ -273,17 +268,18 @@ class PallasNFA:
         closure2 = jnp.pad(
             self.closure, ((0, 0), (0, padI), (0, padI))
         ).reshape(self.U * PI, PI)
-        memb_planes = [membw[:, :, w] for w in range(W32)]
-        tile_specs = [pl.BlockSpec((T, L), lambda i: (i, 0))] * W32
+        # position-major layouts: step p reads sublane row p (no rolling)
+        memb_planes = [membw[:, :, w].T for w in range(W32)]
+        tile_specs = [pl.BlockSpec((L, T), lambda i: (0, i))] * W32
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int32),
             grid=(NP // T,),
             in_specs=[
-                pl.BlockSpec((T, L), lambda i: (i, 0)),
+                pl.BlockSpec((L, T), lambda i: (0, i)),
                 pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
                 *tile_specs,
-                pl.BlockSpec((T, L + 1), lambda i: (i, 0)),
+                pl.BlockSpec((L + 1, T), lambda i: (0, i)),
                 pl.BlockSpec((self.U * PI, PI), lambda i: (0, 0)),
                 pl.BlockSpec((PI, PI), lambda i: (0, 0)),
                 pl.BlockSpec((1, PI), lambda i: (0, 0)),
@@ -294,10 +290,10 @@ class PallasNFA:
             out_specs=pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
             interpret=use_interpret_mode(),
         )(
-            chars.astype(jnp.int32),
+            chars.astype(jnp.int32).T,
             lengths.astype(jnp.int32).reshape(NP // T, T),
             *memb_planes,
-            uid,
+            uid.T,
             closure2,
             jnp.pad(self.next_mat, ((0, padI), (0, padI))),
             jnp.pad(self.is_end, (0, padI))[None, :],
