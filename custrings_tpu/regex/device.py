@@ -536,8 +536,8 @@ class DeviceProgram:
             self._end_ids = np.nonzero(prog.types == END)[0]
         return self._ccols, self._next_cols, self._end_ids
 
-    @partial(jax.jit, static_argnums=(0,))
-    def nfa_spans(self, chars, lengths, start_pos):
+    @partial(jax.jit, static_argnums=(0, 4))
+    def nfa_spans(self, chars, lengths, start_pos, ascii: bool = False):
         """Leftmost-longest first-match spans for `longest_safe` programs.
 
         All begins are explored simultaneously: state = min begin per inst
@@ -587,7 +587,7 @@ class DeviceProgram:
             beg = beg.at[:, self.prog.start_ids].min(
                 jnp.where(inject, p, INF)[:, None]
             )
-            ctx = self._ctx_bits(prev, cur, jnp.full(N, p == 0))
+            ctx = self._ctx_bits(prev, cur, jnp.full(N, p == 0), ascii)
             uid = self.ctx_map[ctx]
             closed = closure_minplus(beg, uid)
             # END candidates at this position
@@ -600,7 +600,7 @@ class DeviceProgram:
             best_e = jnp.where(better | same, p, best_e)
             best_b = jnp.where(better, b_end, best_b)
             # consume
-            pred = self._char_pred(cur)  # [N, I]
+            pred = self._char_pred(cur, ascii)  # [N, I]
             fired = jnp.where(pred, closed, INF)
             nxt_out = []
             for j in range(self.I):
@@ -631,8 +631,9 @@ class DeviceProgram:
 
     # ---------------- executor B: spans/captures ----------------
 
-    @partial(jax.jit, static_argnums=(0, 5))
-    def run_spans(self, chars, lengths, begins, ends, group_id: int):
+    @partial(jax.jit, static_argnums=(0, 5, 6))
+    def run_spans(self, chars, lengths, begins, ends, group_id: int,
+                  ascii: bool = False):
         """Faithful regexec (regexec.inl:204-442) vmapped over rows.
 
         begins/ends: int32[rows] search window (ends<0 => open).
@@ -769,7 +770,7 @@ class DeviceProgram:
 
             def consume_phase(l1, pos, c, match, mb, me):
                 l2 = empty_list()
-                pred = self._char_pred(c[None])[0]  # [I], once per char
+                pred = self._char_pred(c[None], ascii)[0]  # [I], once per char
 
                 def entry(i, st):
                     l2, match, mb, me, stopped = st
@@ -856,8 +857,9 @@ class DeviceProgram:
 
     # ---------------- executor C: all non-overlapping spans, one pass ----
 
-    @partial(jax.jit, static_argnums=(0, 4, 5))
-    def all_spans(self, chars, lengths, validity, Rcap: int, exact: bool):
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def all_spans(self, chars, lengths, validity, Rcap: int, exact: bool,
+                  ascii: bool = False):
         """ALL non-overlapping leftmost matches per row in ONE dispatch.
 
         Device-resident round loop around the single-match engines
@@ -880,11 +882,12 @@ class DeviceProgram:
             r, begins, active, counts, B, E = state
             if exact:
                 m, b, e = self.run_spans(
-                    chars, lengths, begins, jnp.full((N,), -1, jnp.int32), 0
+                    chars, lengths, begins, jnp.full((N,), -1, jnp.int32), 0,
+                    ascii,
                 )
                 m = m > 0
             else:
-                m, b, e = self.nfa_spans(chars, lengths, begins)
+                m, b, e = self.nfa_spans(chars, lengths, begins, ascii)
             hit = active & m
             counts = counts + hit.astype(jnp.int32)
             # index pair must be same-dtype even if another op enabled x64

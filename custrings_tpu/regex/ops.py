@@ -133,11 +133,28 @@ def match_re(col: StringColumn, pattern: str) -> jax.Array:
 
 def _all_spans_device(col: StringColumn, pattern: str):
     """One-dispatch all-matches (device.py all_spans).  Returns device
-    arrays (counts int32[n], B int32[n, Rcap], E int32[n, Rcap])."""
+    arrays (counts int32[n], B int32[n, Rcap], E int32[n, Rcap]).
+
+    ASCII-dominant columns take the packed-bit predicate path and re-run
+    only the non-ASCII rows through the general engine."""
     dp = get_program(pattern)
     chars, nch = _mats(col)
     fast = dp.prog.longest_safe and dp.I <= 128
     Rcap = int(chars.shape[1]) + 2
+    na = layout.row_nonascii_ids(col)
+    if na is not None and len(na) * 8 <= max(col.size, 1):
+        counts, B, E = dp.all_spans(
+            chars, nch, col.validity, Rcap, not fast, True
+        )
+        if len(na):
+            nad = jnp.asarray(na, jnp.int32)
+            c2, B2, E2 = dp.all_spans(
+                chars[nad], nch[nad], col.validity[nad], Rcap, not fast
+            )
+            counts = counts.at[nad].set(c2)
+            B = B.at[nad].set(B2)
+            E = E.at[nad].set(E2)
+        return counts, B, E
     return dp.all_spans(chars, nch, col.validity, Rcap, not fast)
 
 

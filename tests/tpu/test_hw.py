@@ -170,3 +170,31 @@ def test_nvtext_distance(col, corpus):
     got = _get(distance.edit_distance_scalar(col, "hello")).tolist()
     exp = [lev(s, "hello") if s is not None else 0 for s in corpus]
     assert got == exp
+
+
+def test_pallas_ragged_window(col, corpus):
+    """The ragged row-window DMA kernel vs the XLA 2-D gather, on chip."""
+    import numpy as np
+    import jax
+
+    from custrings_tpu.ops import layout
+
+    w = layout.max_row_bytes(col)
+    a = jax.device_get(layout._padded_view(col.data, col.offsets, w))
+    b = jax.device_get(layout._padded_view_pallas(col.data, col.offsets, w))
+    assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_ascii_lut_regex_parity(col, corpus):
+    """ASCII packed-bit predicate path vs the table path, on chip."""
+    import re
+
+    from custrings_tpu.regex import ops as rx
+
+    got = rx.contains_re(col, r"\b\w\w+ing\b")
+    import numpy as np
+    import jax
+
+    got = np.asarray(jax.device_get(got))
+    exp = [s is not None and bool(re.search(r"\b\w\w+ing\b", s)) for s in corpus]
+    assert got.tolist() == exp
