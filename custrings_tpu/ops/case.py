@@ -29,7 +29,12 @@ def _mapped(cps, want_flag):
 
 
 def _case_op(col: StringColumn, kind: str) -> StringColumn:
-    return charwise.run_charwise(_case_body, col, static_args=(kind,))
+    # ASCII input => ASCII output for every case mapping (the Unicode
+    # special casings that widen never start from ASCII codepoints)
+    return charwise.run_charwise(
+        _case_body, col, static_args=(kind,),
+        ascii_out=layout.is_ascii(col),
+    )
 
 
 def _case_body(col: StringColumn, kind: str):
