@@ -86,23 +86,27 @@ def _find_impl(col: StringColumn, pat, starts_ends, reverse: bool, use_ranges: b
     spos = jnp.clip(spos, col.offsets[:-1], col.offsets[1:])
     epos = jnp.clip(epos, col.offsets[:-1], col.offsets[1:])
 
+    from . import segments
+
     match = _match_mask(data, pat)
     ok = (
         match
-        & (j >= spos[rows])
-        & (j + m <= epos[rows])
+        & (j >= segments.broadcast_rows_to_bytes(spos, col.offsets, col.capacity))
+        & (j + m <= segments.broadcast_rows_to_bytes(epos, col.offsets, col.capacity))
         & layout.valid_byte_mask(col)
     )
-    charpos = cm.cs0[:-1] - co[rows]
-    if reverse:
-        best = jnp.full(nrows, -1, jnp.int32).at[rows].max(
-            jnp.where(ok, charpos, -1)
-        )
-    else:
-        best = jnp.full(nrows, _BIG, jnp.int32).at[rows].min(
-            jnp.where(ok, charpos, _BIG)
-        )
-        best = jnp.where(best == _BIG, -1, best)
+    # first/last ok byte per row WITHOUT a capacity-sized segment reduce:
+    # prefix-count the hits, then binary-search the k-th hit position for
+    # each row (rows-count-sized work)
+    okc = jnp.cumsum(ok.astype(jnp.int32))  # inclusive
+    okc0 = jnp.concatenate([jnp.zeros(1, jnp.int32), okc])
+    t0 = okc0[col.offsets[:-1]]
+    t1 = okc0[col.offsets[1:]]
+    has = t1 > t0
+    k = t1 if reverse else t0 + 1
+    jpos = jnp.searchsorted(okc, k, side="left").astype(jnp.int32)
+    jpos = jnp.clip(jpos, 0, col.capacity - 1)
+    best = jnp.where(has, cm.cs0[jpos] - co, -1)
     if m == 0:
         best = jnp.full(nrows, -1, jnp.int32)  # find.cu: empty target -> -1
     return jnp.where(col.validity, best, -2)
@@ -232,13 +236,17 @@ def count_literal(col: StringColumn, pat) -> jax.Array:
 
 @jax.jit
 def _count_literal_impl(col: StringColumn, p) -> jax.Array:
+    from . import segments
+
     m = p.shape[0]
     j = jnp.arange(col.capacity, dtype=jnp.int32)
-    rows = layout.row_ids_from_offsets(col.offsets, col.capacity)
     ok = (
         _match_mask(col.data, p)
-        & (j + m <= col.offsets[1:][rows])
+        & (j + m <= segments.row_end_positions(col.offsets, col.capacity))
         & layout.valid_byte_mask(col)
     )
-    cnt = jnp.zeros(col.size, jnp.int32).at[rows].add(ok.astype(jnp.int32))
+    ok0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(ok.astype(jnp.int32))]
+    )
+    cnt = segments.per_row_of_prefix(ok0, col.offsets)
     return jnp.where(col.validity, cnt, 0)

@@ -44,19 +44,29 @@ def _strip_window(col: StringColumn, to_strip, left: bool, right: bool):
     member = _member_mask(col, to_strip)
     ncap = member.shape[0]
     c = jnp.arange(ncap, dtype=jnp.int32)
-    crows = layout.row_ids_from_offsets(cm.char_offsets, ncap)
-    oc = c - cm.char_offsets[:-1][crows]
     cvalid = c < cm.cs0[-1]
     non = (~member) & cvalid
     n = col.size
-    # first non-member char position per row (nchars if none)
-    first_non = jnp.full(n, _BIG, jnp.int32).at[crows].min(
-        jnp.where(non, oc, _BIG)
+    # first/last non-member char per row via prefix-count binary search
+    # (a capacity-sized segment min/max scatter costs ~25 ms at 4M chars)
+    nonc = jnp.cumsum(non.astype(jnp.int32))
+    nonc0 = jnp.concatenate([jnp.zeros(1, jnp.int32), nonc])
+    t0 = nonc0[cm.char_offsets[:-1]]
+    t1 = nonc0[cm.char_offsets[1:]]
+    has = t1 > t0
+    co = cm.char_offsets[:-1]
+    cfirst = jnp.clip(
+        jnp.searchsorted(nonc, t0 + 1, side="left").astype(jnp.int32),
+        0,
+        max(ncap - 1, 0),
     )
-    first_non = jnp.minimum(first_non, nch)
-    last_non = jnp.full(n, -1, jnp.int32).at[crows].max(
-        jnp.where(non, oc, -1)
+    clast = jnp.clip(
+        jnp.searchsorted(nonc, t1, side="left").astype(jnp.int32),
+        0,
+        max(ncap - 1, 0),
     )
+    first_non = jnp.where(has, cfirst - co, nch)
+    last_non = jnp.where(has, clast - co, -1)
     starts = first_non if left else jnp.zeros(n, jnp.int32)
     stops = (last_non + 1) if right else nch
     # all-member rows: empty result
