@@ -80,11 +80,13 @@ def _case_body(col: StringColumn, kind: str):
     else:  # pragma: no cover
         raise ValueError(kind)
 
-    co = cm.char_offsets[:-1]
-
-    def cp_fn(rows, oc, valid):
-        g = jnp.clip(co[rows] + oc, 0, ncap - 1)
-        return out[g]
+    def cp_fn(rows, oc, valid, cidx):
+        # counts == input nchars, so output char c IS input char c:
+        # a plain slice/pad, no capacity-sized gather
+        cc = cidx.shape[0]
+        if cc <= ncap:
+            return out[:cc]
+        return jnp.pad(out, (0, cc - ncap))
 
     return cm.nchars(), col.validity, cp_fn
 

@@ -23,6 +23,25 @@ from ..config import bucket_bytes
 from . import layout
 
 
+def _call_cp_fn(cp_fn, crows, oc, cvalid, c, char_offsets, ccap):
+    """Invoke cp_fn with the optional kwargs it accepts (cidx = global
+    output char index; bcast = rows->chars broadcast) so bodies can avoid
+    capacity-sized gathers."""
+    import inspect
+
+    from .segments import broadcast_rows_to_bytes
+
+    params = inspect.signature(cp_fn).parameters
+    kw = {}
+    if "cidx" in params:
+        kw["cidx"] = c
+    if "bcast" in params:
+        kw["bcast"] = lambda v: broadcast_rows_to_bytes(
+            v, char_offsets, ccap
+        )
+    return cp_fn(crows, oc, cvalid, **kw)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def _phase_counts(col, body_fn, static_args, *args):
     counts, validity, _ = body_fn(col, *static_args, *args)
@@ -30,13 +49,15 @@ def _phase_counts(col, body_fn, static_args, *args):
 
 
 def _char_plan(col, body_fn, static_args, ccap, *args):
+    from .segments import broadcast_rows_to_bytes
+
     counts, validity, cp_fn = body_fn(col, *static_args, *args)
     char_offsets = cumsum0(counts)
     c = jnp.arange(ccap, dtype=jnp.int32)
     crows = row_ids_from_offsets(char_offsets, ccap)
-    oc = c - char_offsets[crows]
+    oc = c - broadcast_rows_to_bytes(char_offsets[:-1], char_offsets, ccap)
     cvalid = c < char_offsets[-1]
-    cps = cp_fn(crows, oc, cvalid)
+    cps = _call_cp_fn(cp_fn, crows, oc, cvalid, c, char_offsets, ccap)
     bts, w = layout.encode_codepoints(cps)
     w = jnp.where(cvalid, w, 0)
     cb0 = jnp.zeros(ccap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
@@ -83,7 +104,7 @@ def _phase_write(col, body_fn, static_args, ccap, bcap, ascii_out, *args):
 
     oc = c - broadcast_rows_to_bytes(char_offsets[:-1], char_offsets, ccap)
     cvalid = c < char_offsets[-1]
-    cps = cp_fn(crows, oc, cvalid)
+    cps = _call_cp_fn(cp_fn, crows, oc, cvalid, c, char_offsets, ccap)
     if ascii_out:
         # width-1 bytes: base[c] == c, offsets are the char offsets
         data = jnp.where(cvalid, cps, 0).astype(jnp.uint8)

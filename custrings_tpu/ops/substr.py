@@ -70,8 +70,8 @@ def slice_chars(
     cps = layout.codepoints(col)
     ncap = cps.shape[0]
 
-    def cp_fn(rows, oc, valid):
-        g = jnp.clip(co[rows] + s[rows] + oc * step, 0, ncap - 1)
+    def cp_fn(rows, oc, valid, bcast):
+        g = jnp.clip(bcast(co + s) + oc * step, 0, ncap - 1)
         return cps[g]
 
     return charwise.build_charwise(col, counts, cp_fn)
