@@ -56,18 +56,23 @@ def token_extents(col: StringColumn, delimiter: str | None = None):
     next_row_first = jnp.roll(row_first, -1).at[ncap - 1].set(True)
     tend = tok_char & (next_row_first | ~next_tok)
 
+    from ..ops import segments
+
     n = col.size
-    counts = jnp.zeros(n, jnp.int32).at[crows].add(tstart.astype(jnp.int32))
-    counts = jnp.where(col.validity, counts, 0)
     ts0 = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(tstart.astype(jnp.int32))]
     )
     te0 = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(tend.astype(jnp.int32))]
     )
-    row_char_start = cm.char_offsets[:-1][crows]
-    ts_rank = ts0[:ncap] - ts0[row_char_start]
-    te_rank = te0[:ncap] - te0[row_char_start]
+    counts = segments.per_row_of_prefix(ts0, cm.char_offsets)
+    counts = jnp.where(col.validity, counts, 0)
+
+    def cbcast(v):
+        return segments.broadcast_rows_to_bytes(v, cm.char_offsets, ncap)
+
+    ts_rank = ts0[:ncap] - cbcast(ts0[cm.char_offsets[:-1]])
+    te_rank = te0[:ncap] - cbcast(te0[cm.char_offsets[:-1]])
     cpos = cm.char_pos
     cw = layout.char_width_from_lead(
         col.data[jnp.clip(cpos, 0, max(col.capacity - 1, 0))]
@@ -90,10 +95,15 @@ def _tokenize_body(col: StringColumn, tcap, delimiter):
     counts = E["counts"]
     if tcap is None:
         return counts
+    from ..ops import segments
+
+    cm = layout.char_map(col)
     tok_off = cumsum0(counts)
     starts = jnp.zeros(tcap + 1, jnp.int32)
     ends = jnp.zeros(tcap + 1, jnp.int32)
-    tbase = tok_off[:-1][E["crows"]]
+    tbase = segments.broadcast_rows_to_bytes(
+        tok_off[:-1], cm.char_offsets, E["c"].shape[0]
+    )
     starts = starts.at[
         jnp.where(E["tstart"], tbase + E["ts_rank"], tcap)
     ].set(E["cpos"][E["c"]])
@@ -125,10 +135,11 @@ def tokenize_strings(col: StringColumn, delims: StringColumn) -> StringColumn:
     dstrs = [d for d in to_host_strings(delims) if d]
     if not dstrs:
         return tokenize(col)
+    from ..ops import segments
+
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    rows = row_ids_from_offsets(col.offsets, cap)
-    row_end = col.offsets[1:][rows]
+    row_end = segments.row_end_positions(col.offsets, cap)
     valid_byte = j < col.offsets[-1]
     first_id = jnp.full(cap, -1, jnp.int32)
     dlen = jnp.zeros(cap, jnp.int32)
@@ -162,20 +173,20 @@ def tokenize_strings(col: StringColumn, delims: StringColumn) -> StringColumn:
         picked = (first_id >= 0) & (s_in == 0)
 
     n = col.size
-    picks_per_row = (
-        jnp.zeros(n, jnp.int32).at[rows].add(picked.astype(jnp.int32))
+    pk0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
     )
+    picks_per_row = segments.per_row_of_prefix(pk0, col.offsets)
     counts = jnp.where(col.validity, picks_per_row + 1, 0)
     tok_off = cumsum0(counts)
     total = int(tok_off[-1])
     from ..config import bucket_bytes as _bb
 
     tcap = _bb(total)
-    pk0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+    rank = pk0[:cap] - segments.broadcast_rows_to_bytes(
+        pk0[col.offsets[:-1]], col.offsets, cap
     )
-    rank = pk0[:cap] - pk0[col.offsets[:-1][rows]]
-    tbase = tok_off[:-1][rows]
+    tbase = segments.broadcast_rows_to_bytes(tok_off[:-1], col.offsets, cap)
     starts = jnp.zeros(tcap + 1, jnp.int32)
     ends = jnp.zeros(tcap + 1, jnp.int32)
     first_tok = jnp.where(col.validity, tok_off[:-1], tcap)
