@@ -186,13 +186,29 @@ def build_charwise(
     )
     total_bytes = int(out_offsets[-1])
     bcap = bucket_bytes(total_bytes)
-    data = jnp.zeros(bcap + 4, jnp.uint8)
+    from .segments import cummax
+
+    ccap2 = w.shape[0]
+    c = jnp.arange(ccap2, dtype=jnp.int32)
     base = cb0[:-1]
-    for t in range(4):
-        sel = (t < w) & cvalid
-        idx = jnp.where(sel, base + t, bcap + t)
-        data = data.at[idx].set(jnp.where(sel, bts[:, t], jnp.uint8(0)))
-    return StringColumn(data[:bcap], out_offsets, validity)
+    mark = jnp.full(bcap + 1, -1, jnp.int32).at[
+        jnp.where(cvalid, base, bcap)
+    ].max(jnp.where(cvalid, c, -1))
+    cid = cummax(mark[:bcap])
+    q = jnp.arange(bcap, dtype=jnp.int32)
+    qstart = cummax(jnp.where(mark[:bcap] >= 0, q, -1))
+    t = q - qstart
+    # recover codepoints from the encoded byte matrix's first bytes? no —
+    # re-derive the byte directly from the per-char byte table
+    cps_b = jnp.take_along_axis(
+        bts[jnp.clip(cid, 0, ccap2 - 1)],
+        jnp.clip(t, 0, 3)[:, None],
+        axis=1,
+    )[:, 0]
+    data = jnp.where(
+        (cid >= 0) & (q < out_offsets[-1]), cps_b, jnp.uint8(0)
+    )
+    return StringColumn(data, out_offsets, validity)
 
 
 def input_codepoint_gather(col: StringColumn):

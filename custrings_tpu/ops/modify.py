@@ -404,19 +404,19 @@ def translate(col: StringColumn, table) -> StringColumn:
     crows = layout.row_ids_from_offsets(cm.char_offsets, ncap)
     cvalid = c < cm.cs0[-1]
     kv = kept & cvalid
-    counts = jnp.zeros(col.size, jnp.int32).at[crows].add(kv.astype(jnp.int32))
     # compact mapping: out char index -> in char index
     kpos0 = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(kv.astype(jnp.int32))]
     )
+    counts = segments.per_row_of_prefix(kpos0, cm.char_offsets)
     in_for_out = jnp.zeros(ncap + 1, jnp.int32).at[
         jnp.where(kv, kpos0[:-1], ncap)
     ].set(c)[:ncap]
+    base_rows = kpos0[cm.char_offsets[:-1]]
 
-    def cp_fn(rows, oc, valid):
+    def cp_fn(rows, oc, valid, bcast):
         # oc-th kept char of row = global kept index kpos0[char_offsets[row]] + oc
-        base = kpos0[jnp.minimum(cm.char_offsets[:-1][rows], ncap)]
-        g = in_for_out[jnp.clip(base + oc, 0, ncap - 1)]
+        g = in_for_out[jnp.clip(bcast(base_rows) + oc, 0, ncap - 1)]
         return mapped[jnp.clip(g, 0, ncap - 1)]
 
     return charwise.build_charwise(col, counts, cp_fn)
