@@ -56,21 +56,34 @@ _encode_plan_j = jax.jit(_encode_plan)
 
 @partial(jax.jit, static_argnums=(1,))
 def _encode_write(col: StringColumn, bcap: int):
+    """One input-start scatter + cummax fill (was three capacity-sized
+    scatters, ~25 ms each at 4M bytes on v5e)."""
+    from .segments import cummax
+
     real, keep, b, w, ob0, out_offsets = _encode_plan(col)
-    data = jnp.zeros(bcap + 3, jnp.uint8)
-    base = ob0[:-1]
-    hi = _hex_char(b >> 4)
-    lo = _hex_char(b & 0xF)
-    vals = [
-        jnp.where(keep, col.data, jnp.uint8(ord("%"))),
-        hi,
-        lo,
-    ]
-    for t in range(3):
-        sel = real & (t < w)
-        idx = jnp.where(sel, base + t, bcap + t)
-        data = data.at[idx].set(jnp.where(sel, vals[t], jnp.uint8(0)))
-    return data[:bcap], out_offsets
+    cap = col.capacity
+    c = jnp.arange(cap, dtype=jnp.int32)
+    mark = jnp.full(bcap + 1, -1, jnp.int32).at[
+        jnp.where(real, ob0[:-1], bcap)
+    ].max(jnp.where(real, c, -1))
+    src = cummax(mark[:bcap])
+    q = jnp.arange(bcap, dtype=jnp.int32)
+    qstart = cummax(jnp.where(mark[:bcap] >= 0, q, -1))
+    t = q - qstart
+    safe = jnp.clip(src, 0, max(cap - 1, 0))
+    b_q = col.data[safe].astype(jnp.int32)
+    keep_q = keep[safe]
+    byte = jnp.where(
+        t == 0,
+        jnp.where(keep_q, col.data[safe], jnp.uint8(ord("%"))),
+        jnp.where(
+            t == 1, _hex_char(b_q >> 4), _hex_char(b_q & 0xF)
+        ).astype(jnp.uint8),
+    )
+    data = jnp.where(
+        (src >= 0) & (q < out_offsets[-1]), byte, jnp.uint8(0)
+    )
+    return data, out_offsets
 
 
 def url_encode(col: StringColumn) -> StringColumn:
