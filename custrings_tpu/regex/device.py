@@ -362,8 +362,9 @@ class DeviceProgram:
 
     # ---------------- executor A1: chunked long-string matcher ----------
 
-    @partial(jax.jit, static_argnums=(0, 3, 4))
-    def nfa_matches_chunked(self, chars, lengths, anchored: bool, G: int):
+    @partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def nfa_matches_chunked(self, chars, lengths, anchored: bool, G: int,
+                            ascii: bool = False):
         """Long-string parallel matcher (SURVEY §5.7 "design fresh" item).
 
         The position loop of nfa_matches is a boolean-semiring linear
@@ -442,7 +443,7 @@ class DeviceProgram:
                 ),
             )
             bos = glob0 & (g == 0)
-            ctx = self._ctx_bits(prev, cur, bos)
+            ctx = self._ctx_bits(prev, cur, bos, ascii)
             uid = self.ctx_map[ctx]  # [Nc]
             inj = (goff_f + g) <= len_f  # no starts past EOS
             cS = select_close(
@@ -451,7 +452,7 @@ class DeviceProgram:
             cT = select_close(T, uid, True)
             M = M | jnp.any(cS & self.is_end[None, :], axis=1)
             A = A | jnp.any(cT & self.is_end[None, None, :], axis=2)
-            pred = self._char_pred(cur)  # [Nc, I]
+            pred = self._char_pred(cur, ascii)  # [Nc, I]
             S = ((cS & pred).astype(jnp.float32) @ nm) > 0
             T = ((cT & pred[:, None, :]).astype(jnp.float32) @ nm) > 0
             return T, A, S, M
@@ -505,7 +506,7 @@ class DeviceProgram:
             (Lp - 1 < lengths) & (Lp > 0), chars[:, Lp - 1], 0
         )
         ctx = self._ctx_bits(
-            prevL, jnp.zeros(N, jnp.int32), jnp.full(N, Lp == 0)
+            prevL, jnp.zeros(N, jnp.int32), jnp.full(N, Lp == 0), ascii
         )
         uid = self.ctx_map[ctx]
         vf = vend.astype(jnp.float32)

@@ -96,7 +96,7 @@ def _matches(col: StringColumn, pattern: str, anchored: bool) -> jax.Array:
         width = int(chars.shape[1])
         if width >= thresh:
             return xdp.nfa_matches_chunked(
-                chars, nch, anchored, _chunk_size(width)
+                chars, nch, anchored, _chunk_size(width), ascii
             )
         if pallas:
             return dp.matches(chars, nch, anchored, ascii)

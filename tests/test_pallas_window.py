@@ -80,3 +80,27 @@ def test_mostly_ascii_column_uses_hybrid(monkeypatch):
     # decode row -1 back from codepoints
     got = "".join(chr(c) for c in np.asarray(mat[-1])[: int(nch[-1])])
     assert got == "ünïcode"
+
+
+def test_utf8_byte_at_matches_encoder():
+    """The cummax-fill writer's per-byte encoder vs encode_codepoints."""
+    rng = np.random.default_rng(3)
+    import numpy as _np
+
+    cps = _np.concatenate(
+        [
+            rng.integers(1, 0x80, 100),
+            rng.integers(0x80, 0x800, 100),
+            rng.integers(0x800, 0x10000, 100),
+            rng.integers(0x10000, 0x110000, 100),
+        ]
+    ).astype(_np.int32)
+    from custrings_tpu.ops.charwise import _utf8_byte_at
+    from custrings_tpu.ops.layout import encode_codepoints
+
+    j = jnp.asarray(cps)
+    bts, w = encode_codepoints(j)
+    for t in range(4):
+        got = np.asarray(_utf8_byte_at(j, jnp.full(j.shape, t, jnp.int32)))
+        mask = np.asarray(w) > t
+        assert (got[mask] == np.asarray(bts[:, t])[mask]).all()
