@@ -319,7 +319,9 @@ def _delim_split(
         raise ValueError("empty delimiter")
     from ..column import BOUND_SYNC_THRESHOLD
 
-    tok_bound = col.capacity + col.size
+    # each delimiter occurrence consumes m bytes: tokens <= bytes/m + rows
+    m = len(delim.encode("utf-8"))
+    tok_bound = col.capacity // m + col.size
     if (
         col.size
         and tok_bound * 8 <= BOUND_SYNC_THRESHOLD
