@@ -289,13 +289,20 @@ def _delim_full_bd(
         & (bcast(col.validity.astype(jnp.int32)) == 1)
     )
 
-    # output bytes: compact kept bytes (scatter #1)
+    # output bytes: compact kept bytes (Pallas stream-compaction kernel on
+    # TPU — the XLA scatter costs ~25 ms at 3.7M bytes; scatter fallback
+    # stays for overflow/odd shapes and non-TPU backends)
     k0 = cumsum0(keep)
-    data = (
-        jnp.zeros(bcap + 1, jnp.uint8)
-        .at[jnp.where(keep, k0[:cap], bcap)]
-        .set(jnp.where(keep, col.data, jnp.uint8(0)))[:bcap]
-    )
+    if layout._use_pallas_window():
+        from .pallas_compact import compact_bytes
+
+        data = compact_bytes(col.data, keep, bcap)
+    else:
+        data = (
+            jnp.zeros(bcap + 1, jnp.uint8)
+            .at[jnp.where(keep, k0[:cap], bcap)]
+            .set(jnp.where(keep, col.data, jnp.uint8(0)))[:bcap]
+        )
 
     # token id of each byte; token-end marks (scatter #2) + cummax fill
     u0 = cumsum0(dused)

@@ -104,3 +104,35 @@ def test_utf8_byte_at_matches_encoder():
         got = np.asarray(_utf8_byte_at(j, jnp.full(j.shape, t, jnp.int32)))
         mask = np.asarray(w) > t
         assert (got[mask] == np.asarray(bts[:, t])[mask]).all()
+
+
+def test_compact_bytes_parity(monkeypatch):
+    """Stream-compaction kernel vs numpy, interpret mode, several drop
+    densities (incl. the overflow fallback)."""
+    from custrings_tpu.ops.pallas_compact import TB, compact_bytes
+
+    rng = np.random.default_rng(11)
+    for cap, density in [(8192, 0.15), (4096, 0.95), (6144, 0.0)]:
+        data = rng.integers(0, 256, cap, dtype=np.uint8)
+        keep = rng.random(cap) > density
+        out_cap = TB * max(-(-int(keep.sum()) // TB), 1)
+        out = np.asarray(
+            compact_bytes(jnp.asarray(data), jnp.asarray(keep), out_cap)
+        )
+        exp = data[keep]
+        assert (out[: exp.size] == exp).all()
+        assert (out[exp.size :] == 0).all()
+
+
+def test_split_with_pallas_compact(monkeypatch):
+    monkeypatch.setenv("CUSTRINGS_PALLAS_WINDOW", "1")
+    from custrings_tpu.ops import split as sp
+
+    strs = ["a b  c", "", None, "xx yy", " lead", "trail ", "no-delims"] * 40
+    col = colmod.from_host_strings(strs)
+    tc = sp.split_record(col, " ")
+    from custrings_tpu import column as cm
+
+    toks = cm.to_host_strings(tc.tokens)
+    exp = [t for s in strs if s is not None for t in s.split(" ")]
+    assert toks == exp

@@ -198,3 +198,24 @@ def test_ascii_lut_regex_parity(col, corpus):
     got = np.asarray(jax.device_get(got))
     exp = [s is not None and bool(re.search(r"\b\w\w+ing\b", s)) for s in corpus]
     assert got.tolist() == exp
+
+
+def test_pallas_compact_on_chip(col, corpus):
+    """Stream-compaction kernel vs the scatter path, on chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from custrings_tpu.ops.pallas_compact import TB, _compact_p, compact_bytes
+
+    data = col.data
+    cap = int(data.shape[0])
+    keep = (data != ord(" ")) & (
+        jnp.arange(cap, dtype=jnp.int32) < col.offsets[-1]
+    )
+    nk = int(jax.device_get(jnp.sum(keep.astype(jnp.int32))))
+    out_cap = TB * max(-(-nk // TB), 1)
+    got = np.asarray(jax.device_get(compact_bytes(data, keep, out_cap)))
+    d, k = np.asarray(jax.device_get(data)), np.asarray(jax.device_get(keep))
+    exp = d[k]
+    assert (got[: exp.size] == exp).all()
+    assert (got[exp.size :] == 0).all()
