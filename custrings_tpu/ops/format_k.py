@@ -218,12 +218,15 @@ def ftos_device(values, validity) -> StringColumn:
     NAN = np.frombuffer(b"NaN", np.uint8)
     INF = np.frombuffer(b"-Inf", np.uint8)
 
-    def produce(rows, k, valid):
-        nanr, infr, negr = is_nan[rows], is_inf[rows], neg[rows]
+    def produce(rows, k, valid, bcast):
+        nanr = bcast(is_nan.astype(jnp.int32)) == 1
+        infr = bcast(is_inf.astype(jnp.int32)) == 1
+        negr = bcast(neg.astype(jnp.int32)) == 1
+        # 64-bit digit payloads exceed the int32 broadcast primitive
         ir, dr = integer[rows].astype(_U64), decimal[rows].astype(_U64)
-        er, dpr = exp10[rows], dec_places[rows]
-        ndir, dlr = nd_int[rows], dec_len[rows]
-        ear, nder = e_abs[rows], nd_e[rows]
+        er, dpr = bcast(exp10), bcast(dec_places)
+        ndir, dlr = bcast(nd_int), bcast(dec_len)
+        ear, nder = bcast(e_abs), bcast(nd_e)
         s_int = negr.astype(jnp.int32)             # integer digits start
         s_dot = s_int + ndir                       # '.' position
         s_dec = s_dot + 1                          # decimal digits start
