@@ -5,6 +5,13 @@ append-preserving semantics), on the TPU engine.
 
 Run:  python examples/category_demo.py
 """
+import os as _os
+
+if _os.environ.get("CUSTRINGS_PLATFORM"):  # e.g. cpu when no TPU reachable
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["CUSTRINGS_PLATFORM"])
+
 
 import os
 import sys

@@ -1,4 +1,11 @@
 """Tweet regex workload (BASELINE config 3): hashtags/mentions/urls."""
+import os as _os
+
+if _os.environ.get("CUSTRINGS_PLATFORM"):  # e.g. cpu when no TPU reachable
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["CUSTRINGS_PLATFORM"])
+
 
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -5,6 +5,13 @@ via hash joins — all column ops on device.
 
 Run:  python examples/sentiment_csv.py
 """
+import os as _os
+
+if _os.environ.get("CUSTRINGS_PLATFORM"):  # e.g. cpu when no TPU reachable
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["CUSTRINGS_PLATFORM"])
+
 
 import os
 import sys

@@ -1,4 +1,11 @@
 """WordCount notebook equivalent (reference python/notebooks/WordCount)."""
+import os as _os
+
+if _os.environ.get("CUSTRINGS_PLATFORM"):  # e.g. cpu when no TPU reachable
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["CUSTRINGS_PLATFORM"])
+
 
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
