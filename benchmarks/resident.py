@@ -137,7 +137,14 @@ def measure(lines, K: int = 24):
     _p("upload done; probing category width")
     loop, args = build_resident_loop(col)
     _p("compiling K=1 program")
-    jax.block_until_ready(loop(*args, 1))
+    try:
+        jax.block_until_ready(loop(*args, 1))
+    except Exception as e:  # unvalidated-kernel safety: retry without it
+        _p(f"K=1 compile failed ({type(e).__name__}); retrying with "
+           "CUSTRINGS_PALLAS_COMPACT=0")
+        os.environ["CUSTRINGS_PALLAS_COMPACT"] = "0"
+        loop, args = build_resident_loop(col)
+        jax.block_until_ready(loop(*args, 1))
     _p(f"K=1 compiled+run; compiling K={K}")
     jax.block_until_ready(loop(*args, K))
     _p("warm; timing")

@@ -183,6 +183,20 @@ def _compact_p(data, k0, srclo, interpret: bool):
     return out
 
 
+def use_pallas_compact() -> bool:
+    """Default ON for real TPU backends; CUSTRINGS_PALLAS_COMPACT=0 forces
+    the scatter path (also the automatic fallback if the kernel ever fails
+    to compile), =1 forces the kernel even off-TPU (interpret mode)."""
+    import os
+
+    flag = os.environ.get("CUSTRINGS_PALLAS_COMPACT")
+    if flag == "0":
+        return False
+    if flag != "1" and use_interpret_mode():
+        return False
+    return True
+
+
 def compact_bytes(data: jax.Array, keep: jax.Array, out_cap: int) -> jax.Array:
     """uint8[out_cap]: data[j] for kept j, stably compacted.
 

@@ -293,7 +293,9 @@ def _delim_full_bd(
     # TPU — the XLA scatter costs ~25 ms at 3.7M bytes; scatter fallback
     # stays for overflow/odd shapes and non-TPU backends)
     k0 = cumsum0(keep)
-    if layout._use_pallas_window():
+    from .pallas_compact import use_pallas_compact
+
+    if use_pallas_compact():
         from .pallas_compact import compact_bytes
 
         data = compact_bytes(col.data, keep, bcap)
