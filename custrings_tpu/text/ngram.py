@@ -47,13 +47,20 @@ def create_ngrams(
         axis=1,
     )  # [out_n, n+1]
 
-    def produce(rows, k, valid):
-        # find piece t: number of pc[row, 1..n-1] <= k
+    def produce(rows, k, valid, bcast):
+        # find piece t: number of pc[row, 1..n-1] <= k  (per-row columns
+        # of pc broadcast to byte positions, no capacity-sized gathers)
         t = jnp.zeros_like(k)
+        pcb = [bcast(pc[:, tt]) for tt in range(n + 1)]
         for tt in range(1, n):
-            t = t + (k >= pc[rows, tt]).astype(jnp.int32)
-        within = k - pc[rows, t]
+            t = t + (k >= pcb[tt]).astype(jnp.int32)
+        pct = pcb[0]
+        for tt in range(1, n + 1):
+            pct = jnp.where(t == tt, pcb[tt], pct)
+        within = k - pct
         tok = rows + t
+        # token attrs: t is data-dependent per byte, so these two stay
+        # gathers — over the TOKEN axis, bounded by bcast alternatives
         body = lens[tok]
         in_body = within < body
         src = layout.gather_bytes(toks.data, starts[tok] + within)
