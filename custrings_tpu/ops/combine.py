@@ -125,15 +125,23 @@ def _join_body(
     starts = col.offsets[:-1]
 
     def produce(rows, k, valid):
-        # k is position within the single giant row; find source piece
-        src = jnp.searchsorted(piece_off, k, side="right").astype(jnp.int32) - 1
-        src = jnp.clip(src, 0, max(n - 1, 0))
-        kk = k - piece_off[src]
-        b = body[src]
+        # k is position within the single giant row; the source piece per
+        # output byte comes from the piece-offset segment structure
+        # (rows-sized scatter + cumsum), not a capacity-sized searchsorted
+        from . import segments
+
+        cap_out = k.shape[0]
+        pstart = segments.row_start_positions(piece_off, cap_out)
+        kk = jnp.arange(cap_out, dtype=jnp.int32) - pstart
+        b = segments.broadcast_rows_to_bytes(body, piece_off, cap_out)
+        vsrc = segments.broadcast_rows_to_bytes(
+            col.validity.astype(jnp.int32), piece_off, cap_out
+        ) == 1
+        sstart = segments.broadcast_rows_to_bytes(starts, piece_off, cap_out)
         in_body = kk < b
         str_b = jnp.where(
-            col.validity[src],
-            layout.gather_bytes(col.data, starts[src] + jnp.clip(kk, 0, None)),
+            vsrc,
+            layout.gather_bytes(col.data, sstart + jnp.clip(kk, 0, None)),
             nar_a[jnp.clip(kk, 0, max(nar_n - 1, 0))] if nar_n else jnp.uint8(0),
         )
         kd = jnp.clip(kk - b, 0, max(sep_n - 1, 0))
