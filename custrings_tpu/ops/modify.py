@@ -57,7 +57,9 @@ def _greedy_select(match: jax.Array, m: int, bordered: bool) -> jax.Array:
         # apply a then b: (b o a)[s] = b[a[s]]
         return jnp.take_along_axis(b, a, axis=1)
 
-    comp = jax.lax.associative_scan(compose, T)  # comp[j] = T_j o ... o T_0
+    from .segments import compose_scan
+
+    comp = compose_scan(T)  # comp[j] = T_j o ... o T_0
     # incoming state at byte j = comp[j-1][0]
     s_in = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), comp[:-1, 0].astype(jnp.int32)]

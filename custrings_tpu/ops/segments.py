@@ -83,3 +83,25 @@ def per_row_of_prefix(prefix0: jax.Array, offsets: jax.Array) -> jax.Array:
     Returns prefix0[offsets[1:]] - prefix0[offsets[:-1]] — two rows-sized
     gathers instead of one capacity-sized scatter-add."""
     return prefix0[offsets[1:]] - prefix0[offsets[:-1]]
+
+
+def compose_scan(T: jax.Array) -> jax.Array:
+    """Inclusive scan of function composition: out[j] = T_j o ... o T_0.
+
+    T is int32[B, m]: T[j] maps an incoming state s (< m) to T[j, s].
+    Hillis-Steele doubling with take_along_axis — a manual loop instead of
+    jax.lax.associative_scan, whose generated HLO hung remote TPU compiles
+    for 20+ minutes and intermittently segfaulted the CPU XLA compiler in
+    long test processes."""
+    B, m = T.shape
+    comp = T
+    ident = jnp.broadcast_to(jnp.arange(m, dtype=T.dtype), (1, m))
+    s = 1
+    while s < B:
+        earlier = jnp.concatenate(
+            [jnp.broadcast_to(ident, (min(s, B), m)), comp[:-s]], axis=0
+        )[:B]
+        # window ending at j = (earlier window) then (this window)
+        comp = jnp.take_along_axis(comp, earlier, axis=1)
+        s *= 2
+    return comp

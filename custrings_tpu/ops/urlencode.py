@@ -136,7 +136,9 @@ def _decode_plan(col: StringColumn):
     def compose(a, bb):
         return jnp.take_along_axis(bb, a, axis=1)
 
-    comp = jax.lax.associative_scan(compose, T)
+    from .segments import compose_scan
+
+    comp = compose_scan(T)  # comp[j] = T_j o ... o T_0
     s_in = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), comp[:-1, 0].astype(jnp.int32)]
     )

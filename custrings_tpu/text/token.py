@@ -164,9 +164,7 @@ def tokenize_strings(col: StringColumn, delims: StringColumn) -> StringColumn:
             jnp.maximum(dlen - 1, 0)[:, None],
             jnp.maximum(dom - 1, 0)[None, :],
         )
-        comp = jax.lax.associative_scan(
-            lambda a, b: jnp.take_along_axis(b, a, axis=1), T
-        )
+        comp = segments.compose_scan(T)
         s_in = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), comp[:-1, 0].astype(jnp.int32)]
         )
