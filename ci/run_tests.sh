@@ -4,7 +4,17 @@
 # bench/dry-run validate the TPU path when hardware is present).
 set -e
 cd "$(dirname "$0")/.."
-python -m pytest tests/ -q --junitxml=test-results.xml "$@"
+# The CPU XLA compiler intermittently segfaults after several hundred
+# compiles in one process (site varies run to run); two halves keep each
+# pytest process under the flake horizon.
+python -m pytest tests/test_api.py tests/test_category.py \
+  tests/test_column.py tests/test_edge.py tests/test_format.py \
+  tests/test_fuzz.py tests/test_multihost.py tests/test_segments.py \
+  -q --junitxml=test-results-a.xml "$@"
+python -m pytest tests/test_ops.py tests/test_parallel.py \
+  tests/test_regex.py tests/test_replace_multi.py tests/test_split.py \
+  tests/test_text.py tests/test_pallas_window.py \
+  -q --junitxml=test-results-b.xml "$@"
 python - <<'EOF'
 import os
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
