@@ -68,13 +68,21 @@ def shard_column(col: StringColumn, n_shards: int):
 
 def _pack_words(data, offsets, width):
     """jit-pure packed big-endian uint32 key words [R, width//4]."""
+    from ..ops import layout
+
     nrows = offsets.shape[0] - 1
     cap = data.shape[0]
-    starts = offsets[:-1][:, None]
     lens = (offsets[1:] - offsets[:-1])[:, None]
     k = jnp.arange(width, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(starts + k, cap - 1)
-    view = jnp.where(k < lens, data[idx], jnp.uint8(0)).astype(jnp.uint32)
+    if layout._use_pallas_window():
+        from ..ops.pallas_window import ragged_gather
+
+        raw = ragged_gather(data, offsets[:-1], width)
+    else:
+        starts = offsets[:-1][:, None]
+        idx = jnp.minimum(starts + k, cap - 1)
+        raw = data[idx]
+    view = jnp.where(k < lens, raw, jnp.uint8(0)).astype(jnp.uint32)
     w4 = view.reshape(nrows, -1, 4)
     return (
         (w4[..., 0] << 24) | (w4[..., 1] << 16) | (w4[..., 2] << 8) | w4[..., 3]
