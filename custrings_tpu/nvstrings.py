@@ -333,10 +333,16 @@ class nvstrings:
                 _combine.join(self._col, sep or "", na_rep)
             )
         if isinstance(others, (list, tuple)):
-            cur = self
-            for o in others:
-                cur = cur.cat(o, sep=sep, na_rep=na_rep)
-            return cur
+            if all(o is None or isinstance(o, str) for o in others):
+                # a list of plain strings IS one column, catted
+                # elementwise (python/notebooks/test_combine.ipynb:
+                # strs1.cat(["1","2","3","4","5"], sep=":"))
+                others = to_device(list(others))
+            else:
+                cur = self
+                for o in others:
+                    cur = cur.cat(o, sep=sep, na_rep=na_rep)
+                return cur
         other = others._col if isinstance(others, nvstrings) else to_device(others)._col
         return nvstrings(_combine.cat(self._col, other, sep, na_rep))
 
