@@ -132,6 +132,8 @@ def ragged_gather(data: jax.Array, starts: jax.Array, width: int) -> jax.Array:
     (out-of-row bytes are whatever follows in the buffer, zeros past the
     end).  Width is rounded up to a 1024 multiple internally; the
     requested width is returned."""
+    if starts.shape[0] == 0:
+        return jnp.zeros((0, width), jnp.uint8)  # grid=(0,) crashes Mosaic
     # out block lane dim is W//4 int32 words: keep it a 128 multiple
     W = max(-(-width // 512) * 512, 512)  # out lane dim: 128-word multiple
     out32 = _ragged_gather_p(data, starts, W, use_interpret_mode())
