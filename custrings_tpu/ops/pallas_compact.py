@@ -117,8 +117,10 @@ def _compact_kernel(srclo_ref, data32_ref, *refs):
     k0f = [kbufs[t][:].reshape(1, cw + aw) for t in range(4)]
     k0 = [k0f[t][:, :cw] for t in range(4)]
     # keep[4i+t] = k0[4i+t+1] > k0[4i+t]; plane 3's successor is plane 0
-    # at word i+1 (the +aw slack words keep the static slice in bounds)
-    k0n = [k0[1], k0[2], k0[3], k0f[0][:, 1 : cw + 1]]
+    # at word i+1: rotate-left-by-one then prefix-slice (offset lane
+    # slices may not lower in Mosaic; prefix slices + rolls do)
+    p0next = pltpu.roll(k0f[0], cw + aw - 1, 1)[:, :cw]
+    k0n = [k0[1], k0[2], k0[3], p0next]
     rem = s0 % ALIGN  # byte offset of the true window start
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
     r = []
