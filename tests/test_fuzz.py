@@ -11,7 +11,7 @@ import numpy as np
 
 import custrings_tpu.nvstrings as nvs
 
-ALPH = ["a", "b", "Z", "é", "中", " ", "0", "_", "\x00"]
+ALPH = ["a", "b", "Z", "é", "中", "\U0001F389", " ", "0", "_", "\x00"]
 
 
 def _corpus(rng, k=25):
