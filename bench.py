@@ -8,10 +8,21 @@ BASELINE.md: baseline is self-measured; pandas is the natural CPU yardstick).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: remote (tunneled) TPU compiles run tens of
+# seconds each; caching them on disk makes repeat bench runs start warm.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+import jax as _jax_cfg
+
+_jax_cfg.config.update("jax_compilation_cache_dir", _CACHE)
+_jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+_jax_cfg.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def load_corpus(n_rows=8192, max_bytes=256):
