@@ -8,7 +8,21 @@ or two compiles) because each distinct shape pays a remote compile.
 Skips cleanly when no TPU is reachable.
 """
 
+import sys
+
 import pytest
+
+# Pallas kernel tracing nests deep inside pytest's own frames; the default
+# 1000-frame limit RecursionErrors mid-trace (standalone runs are fine).
+sys.setrecursionlimit(10000)
+
+# pytest imports the PARENT tests/conftest.py first, and that forces
+# jax_platforms=cpu process-wide — which silently skipped this whole leg.
+# The backend is not initialized yet at conftest-import time, so resetting
+# the platform here restores the container default (the TPU tunnel).
+import jax
+
+jax.config.update("jax_platforms", None)
 
 
 def _backend():

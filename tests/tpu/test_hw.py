@@ -61,7 +61,8 @@ def test_find(col, corpus):
     from custrings_tpu.ops import find
 
     got = _get(find.find(col, "the")).tolist()
-    exp = [s.find("the") if s is not None else -1 for s in corpus]
+    # find.cu conventions: -1 = no match, -2 = null row
+    exp = [s.find("the") if s is not None else -2 for s in corpus]
     assert got == exp
 
 
