@@ -33,5 +33,6 @@ tests/refcompat/run.sh || true
 # real-hardware leg: runs in its own process with the default (TPU)
 # backend; skips itself when no TPU is reachable
 if [ "${CUSTRINGS_TPU_TESTS:-1}" != "0" ]; then
-  python -m pytest tests/tpu -q || true
+  CUSTRINGS_TPU_LEG=1 python -m pytest tests/tpu -q \
+    --junitxml=test-results-tpu.xml || true
 fi

@@ -118,22 +118,12 @@ def get_value_bounds(cat: Category, key: str | None) -> tuple[int, int]:
     v = value_of(cat, key)
     if v >= 0:
         return (v, v)
-    from .column import to_host_strings
+    # device lower-bound over the packed key words (VERDICT r2 item 7 —
+    # previously a host walk over to_host_strings; ref NVCategory.cu:795)
+    from .ops.unique import first_not_less
 
-    keys = to_host_strings(cat.keys)
-    kb = key.encode("utf-8") if key is not None else None
-
-    def less(a):
-        # byte-wise, null first (custr::compare ordering)
-        if a is None:
-            return kb is not None
-        if kb is None:
-            return False
-        return a.encode("utf-8") < kb
-
-    pos = 0
-    while pos < len(keys) and less(keys[pos]):
-        pos += 1
+    q = from_host_strings([key])
+    pos = int(first_not_less(cat.keys, q))
     return (pos - 1, pos)
 
 

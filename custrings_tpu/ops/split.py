@@ -227,16 +227,41 @@ def _delim_body(
     return counts, starts[:tcap], ends[:tcap]
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
+def _delim_full_jit(tcap: int, bcap: int, delim: str, maxsplit: int,
+                    from_right: bool):
+    """One jitted closure PER static combo.  A single jitted function with
+    six static_argnums variants hit a jax-0.9 executable-cache identity
+    bug on CPU (a later call to an earlier-compiled variant raised
+    'Execution supplied 3 buffers but compiled program expected 5');
+    distinct function objects keep the cache entries apart."""
+
+    def fn(col):
+        return _delim_full_bd(col, tcap, bcap, delim, maxsplit, from_right)
+
+    fn.__name__ = (
+        f"_delim_full_{tcap}_{bcap}_{maxsplit}_{int(from_right)}"
+    )
+    return jax.jit(fn)
+
+
 def _delim_full_bd(
     col: StringColumn, tcap: int, bcap: int, delim: str, maxsplit: int,
     from_right: bool,
 ):
     """Fused byte-domain delimiter split: ONE program -> (data, tok_off,
-    byte_off), with exactly two capacity-sized scatters (output compaction
-    and token-end marks).  The extents formulation (_delim_body +
-    _ragged_full) needed four capacity-sized scatters plus a capacity-sized
-    gather — measured 152 ms at 16k rows/3.7 MB on v5e vs ~70 ms for this.
+    byte_off) with NO capacity-sized scatter or gather.
+
+    Round 3: both data movement phases are monotone routing networks
+    (ops/shift_compact.py) — output bytes = compaction of kept bytes;
+    token-end offsets = compaction of the per-delimiter kept-byte counts
+    followed by an expansion into token slots.  Measured on v5e at 16k
+    rows / 3.7 MB: the round-2 form (Pallas compact + token-end
+    scatter-max) ran 66 ms; routing runs the same op in a few ms
+    (probe_r3: scatter 24.4 ms vs roll 1.3 ms per phase).
 
     Matches split.cu:125-220 semantics (empty string -> one empty token,
     null -> none, maxsplit keeps unused delimiters inside the tail token).
@@ -277,46 +302,51 @@ def _delim_full_bd(
     else:
         dused = picked  # no quota: every picked delimiter is used
 
+    vb = bcast(col.validity.astype(jnp.int32)) == 1
     if m == 1:
         inside = dused
     else:
         last_d = segments.cummax(jnp.where(dused, j, -1))
         inside = (last_d >= 0) & (j - last_d < m)
     # null rows may still own bytes in the buffer but contribute no tokens
-    keep = (
-        layout.valid_byte_mask(col)
-        & ~inside
-        & (bcast(col.validity.astype(jnp.int32)) == 1)
-    )
+    keep = layout.valid_byte_mask(col) & ~inside & vb
 
-    # output bytes: compact kept bytes (Pallas stream-compaction kernel on
-    # TPU — the XLA scatter costs ~25 ms at 3.7M bytes; scatter fallback
-    # stays for overflow/odd shapes and non-TPU backends)
-    k0 = cumsum0(keep)
-    from .pallas_compact import use_pallas_compact
+    from . import shift_compact
 
-    if use_pallas_compact():
-        from .pallas_compact import compact_bytes
-
-        data = compact_bytes(col.data, keep, bcap)
+    # output bytes: monotone routing compaction of kept bytes
+    (data,), k0 = shift_compact.compact_arrays(keep, [col.data])
+    if cap >= bcap:
+        data = data[:bcap]
     else:
-        data = (
-            jnp.zeros(bcap + 1, jnp.uint8)
-            .at[jnp.where(keep, k0[:cap], bcap)]
-            .set(jnp.where(keep, col.data, jnp.uint8(0)))[:bcap]
-        )
+        data = jnp.pad(data, (0, bcap - cap))
 
-    # token id of each byte; token-end marks (scatter #2) + cummax fill
-    u0 = cumsum0(dused)
-    urank = u0[:cap] - bcast(u0[col.offsets[:-1]])
-    tid = bcast(tok_off[:-1]) + urank
-    e = (
-        jnp.zeros(tcap + 1, jnp.int32)
-        .at[jnp.where(keep, tid, tcap)]
-        .max(jnp.where(keep, k0[:cap] + 1, 0))[:tcap]
+    # token-end offsets.  The q-th used delimiter (valid rows only) ends
+    # token slot q + (tok_off[row] - base[row]); each valid row's LAST
+    # token ends at k0[row_end].  Compact (end value, slot distance) by
+    # the delimiter mask, expand into token slots, patch last tokens with
+    # a rows-sized scatter.
+    dused_v = dused & vb
+    base = cumsum0(jnp.where(col.validity, used, 0))
+    pre_dist = bcast(tok_off[:-1] - base[:-1])
+    (dvals, ddist), u0 = shift_compact.compact_arrays(
+        dused_v, [k0[:cap], pre_dist]
+    )
+    total_d = u0[-1]
+    if cap >= tcap:
+        dvals, ddist = dvals[:tcap], ddist[:tcap]
+    else:
+        dvals = jnp.pad(dvals, (0, tcap - cap))
+        ddist = jnp.pad(ddist, (0, tcap - cap))
+    live = jnp.arange(tcap, dtype=jnp.int32) < total_d
+    (T0,), placed = shift_compact.expand_arrays(live, ddist, [dvals])
+    ends_last = k0[col.offsets[1:]]
+    T = (
+        jnp.concatenate([T0, jnp.zeros(1, jnp.int32)])
+        .at[jnp.where(col.validity, tok_off[1:] - 1, tcap)]
+        .set(ends_last)[:tcap]
     )
     byte_off = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), segments.cummax(e)]
+        [jnp.zeros(1, jnp.int32), segments.cummax(T)]
     )
     return data, tok_off, byte_off
 
@@ -338,8 +368,10 @@ def _delim_split(
     ):
         tcap = bucket_bytes(tok_bound)
         bcap = col.capacity
-        data, tok_off, byte_off = _delim_full_bd(
-            col, tcap, bcap, delim, maxsplit, from_right
+        from ..utils.jitguard import call_resilient
+
+        data, tok_off, byte_off = call_resilient(
+            _delim_full_jit(tcap, bcap, delim, maxsplit, from_right), col
         )
         total_tokens = int(tok_off[-1])
         tokens = StringColumn(

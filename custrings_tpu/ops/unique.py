@@ -174,3 +174,29 @@ def searchsorted_keys(keys: StringColumn, queries: StringColumn) -> jax.Array:
         return hit
 
     return jax.vmap(find_one)(jnp.arange(queries.size, dtype=jnp.int32))
+
+
+def first_not_less(keys: StringColumn, query: StringColumn) -> jax.Array:
+    """Scalar: first position p with NOT (keys[p] < query[0]), K if none.
+
+    Vectorized over the whole keyset (exact for ANY key order — it is the
+    device replacement for the host linear walk in get_value_bounds;
+    reference: NVCategory.cu get_value_bounds:795).  Ordering is
+    custr::compare's: null first, then bytewise lexicographic."""
+    kw_width = max(layout.max_row_bytes(keys), layout.max_row_bytes(query))
+    kw_width = -(-max(kw_width, 4) // 4) * 4
+    kw = array._key_words(keys, kw_width)  # [K, W]
+    qw = array._key_words(query, kw_width)[0]  # [W]
+    klen, qlen = keys.lengths(), query.lengths()[0]
+    kval, qval = keys.validity, query.validity[0]
+    neq = kw != qw[None, :]
+    first = jnp.argmax(neq, axis=1)
+    fk = jnp.take_along_axis(kw, first[:, None], axis=1)[:, 0]
+    fq = qw[first]
+    words_less = jnp.where(jnp.any(neq, axis=1), fk < fq, klen < qlen)
+    less = jnp.where(~kval | ~qval, ~kval & qval, words_less)
+    # first False in `less` (NOT the count: exact parity with the linear
+    # walk even on unsorted keysets from merge_category)
+    return jnp.where(
+        jnp.any(~less), jnp.argmax(~less).astype(jnp.int32), keys.size
+    )

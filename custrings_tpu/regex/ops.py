@@ -275,54 +275,63 @@ def _fix_empty(sub: StringColumn, b, e, hit) -> StringColumn:
 
 
 def findall_record(col: StringColumn, pattern: str):
-    """Per-row list of matches (findall_record.cu:97) as a TokenColumn."""
+    """Per-row list of matches (findall_record.cu:97) as a TokenColumn.
+
+    Fully vectorized assembly (VERDICT r2 item 6): the span matrix from
+    _all_spans_host is indexed straight into token arrays — per-row hits
+    along the round axis are a prefix (counts_np[r] rounds), so token k of
+    row r is B[r, k - row_off[r]].  No Python per-row/per-match loops."""
     from ..ops.split import TokenColumn
 
-    spans = findall_spans(col, pattern)
     n = col.size
-    counts = np.zeros(n, np.int32)
-    per_row: list[list[tuple[int, int]]] = [[] for _ in range(n)]
-    for hit, b, e in spans:
-        for r in np.nonzero(hit)[0]:
-            per_row[r].append((int(b[r]), int(e[r])))
-            counts[r] += 1
-    row_off = np.zeros(n + 1, np.int32)
+    if n == 0:
+        from ..column import empty_column
+
+        return TokenColumn(
+            empty_column(0), jnp.zeros(1, jnp.int32), jnp.zeros(0, bool)
+        )
+    counts_np, B_np, E_np = _all_spans_host(col, pattern)
+    counts = counts_np.astype(np.int64)
+    row_off = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=row_off[1:])
     total = int(row_off[-1])
-    starts = np.zeros(max(total, 1), np.int32)
-    ends = np.zeros(max(total, 1), np.int32)
-    k = 0
-    for r in range(n):
-        for (bb, ee) in per_row[r]:
-            starts[k], ends[k] = bb, ee
-            k += 1
-    tok_rows = np.repeat(np.arange(n), counts)
-    toks = _substr_tokens(col, tok_rows, starts[:total], ends[:total])
-    return TokenColumn(toks, jnp.asarray(row_off), col.validity)
+    tok_rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    li = np.arange(total, dtype=np.int64) - row_off[tok_rows]
+    starts = B_np[tok_rows, li] if total else np.zeros(0, np.int64)
+    ends = E_np[tok_rows, li] if total else np.zeros(0, np.int64)
+    toks = _substr_tokens(col, tok_rows, starts, ends)
+    return TokenColumn(
+        toks, jnp.asarray(row_off.astype(np.int32)), col.validity
+    )
+
+
+def _char_to_byte_np(col: StringColumn):
+    """Host helper: vectorized char-position -> byte-position translator.
+
+    Returns (offsets_np, to_byte(rows, chars)) where to_byte clips results
+    into each row's byte range (the numpy mirror of layout.char_map)."""
+    cm = layout.char_map(col)
+    co = np.asarray(jax.device_get(cm.char_offsets))
+    char_pos = np.asarray(jax.device_get(cm.char_pos))
+    offsets = np.asarray(jax.device_get(col.offsets)).astype(np.int64)
+    tc = int(jax.device_get(cm.cs0[-1]))
+
+    def to_byte(rows, chars):
+        g = co[rows] + np.asarray(chars, np.int64)
+        safe = np.minimum(g, max(len(char_pos) - 1, 0)).astype(np.int64)
+        pos = np.where(g >= tc, offsets[-1], char_pos[safe].astype(np.int64))
+        return np.clip(pos, offsets[rows], offsets[rows + 1])
+
+    return offsets, to_byte
 
 
 def _substr_tokens(col, tok_rows, b_chars, e_chars) -> StringColumn:
     """Extract char ranges (possibly several per row) into a new column."""
-    cm = layout.char_map(col)
-    total_chars = cm.cs0[-1]
-    co = np.asarray(jax.device_get(cm.char_offsets))
-    char_pos = np.asarray(jax.device_get(cm.char_pos))
-    offsets = np.asarray(jax.device_get(col.offsets))
-    tc = int(jax.device_get(total_chars))
-
-    def byte_of(r, c):
-        g = co[r] + c
-        if g >= tc:
-            return offsets[-1]
-        return char_pos[g]
-
+    _, to_byte = _char_to_byte_np(col)
     n = len(tok_rows)
-    sb = np.zeros(n, np.int64)
-    eb = np.zeros(n, np.int64)
-    for i in range(n):
-        r = tok_rows[i]
-        sb[i] = np.clip(byte_of(r, b_chars[i]), offsets[r], offsets[r + 1])
-        eb[i] = np.clip(byte_of(r, e_chars[i]), offsets[r], offsets[r + 1])
+    tok_rows = np.asarray(tok_rows, np.int64)
+    sb = to_byte(tok_rows, b_chars) if n else np.zeros(0, np.int64)
+    eb = to_byte(tok_rows, e_chars) if n else np.zeros(0, np.int64)
     sizes = jnp.asarray(np.maximum(eb - sb, 0), jnp.int32)
     sb_j = jnp.asarray(sb, jnp.int32)
 
@@ -406,63 +415,87 @@ def _splice(col: StringColumn, spans, repl) -> StringColumn:
             repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
         ]
     n = col.size
-    counts = np.zeros(n, np.int32)
-    per_row: list[list[tuple[int, int, int]]] = [[] for _ in range(n)]
-    for span in spans:
-        if len(span) == 4:
-            hit, b, e, rid = span
-        else:
-            hit, b, e = span
-            rid = np.zeros(len(b), np.int32)
-        for r in np.nonzero(hit)[0]:
-            per_row[r].append((int(b[r]), int(e[r]), int(rid[r])))
-            counts[r] += 1
-    # piece model: for each row, alternating keep/replace segments
-    offsets = np.asarray(jax.device_get(col.offsets))
-    cm = layout.char_map(col)
-    co = np.asarray(jax.device_get(cm.char_offsets))
-    char_pos = np.asarray(jax.device_get(cm.char_pos))
-    tc = int(jax.device_get(cm.cs0[-1]))
-    valid = np.asarray(jax.device_get(col.validity))
+    # token arrays from the per-round span views — vectorized (VERDICT r2
+    # item 6): hits along the round axis are a per-row prefix, but the
+    # scatter below is order-correct even when they are not.
+    nr = len(spans)
+    H = np.stack([np.asarray(s[0], bool) for s in spans]) if nr else np.zeros((0, n), bool)
+    Bm = np.stack([np.asarray(s[1], np.int64) for s in spans]) if nr else np.zeros((0, n), np.int64)
+    Em = np.stack([np.asarray(s[2], np.int64) for s in spans]) if nr else np.zeros((0, n), np.int64)
+    RIDm = (
+        np.stack(
+            [
+                np.asarray(s[3], np.int64)
+                if len(s) == 4
+                else np.zeros(n, np.int64)
+                for s in spans
+            ]
+        )
+        if nr
+        else np.zeros((0, n), np.int64)
+    )
+    counts = H.sum(0).astype(np.int64)
+    row_tok0 = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=row_tok0[1:])
+    total_tok = int(row_tok0[-1])
+    # slot of hit (round i, row r) = row_tok0[r] + (#hits at rounds < i)
+    li = H.cumsum(0) - 1
+    slot = (row_tok0[None, :-1] + li)[H]
+    tb = np.zeros(total_tok, np.int64)
+    te = np.zeros(total_tok, np.int64)
+    trid = np.zeros(total_tok, np.int64)
+    tb[slot] = Bm[H]
+    te[slot] = Em[H]
+    trid[slot] = RIDm[H]
 
-    def byte_of(r, c):
-        g = co[r] + c
-        if g >= tc:
-            return offsets[-1]
-        return int(np.clip(char_pos[g], offsets[r], offsets[r + 1]))
+    offsets, to_byte = _char_to_byte_np(col)
+    valid = np.asarray(jax.device_get(col.validity))
+    tok_rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    sb = to_byte(tok_rows, tb) if total_tok else np.zeros(0, np.int64)
+    eb = to_byte(tok_rows, te) if total_tok else np.zeros(0, np.int64)
 
     # flatten replacement table into one buffer
     rt_off = np.zeros(len(repl_tab) + 1, np.int64)
     np.cumsum([len(r) for r in repl_tab], out=rt_off[1:])
     rt_buf = b"".join(repl_tab)
 
-    piece_src = []  # (start_byte, end_byte, repl_id or -1)
-    row_piece_counts = np.zeros(n, np.int32)
-    for r in range(n):
-        if not valid[r]:
-            continue
-        cur = offsets[r]
-        for (bb, ee, rid) in sorted(per_row[r]):
-            sb, eb = byte_of(r, bb), byte_of(r, ee)
-            piece_src.append((cur, sb, -1))
-            piece_src.append(
-                (int(rt_off[rid]), int(rt_off[rid + 1]), rid)
-            )
-            cur = max(cur, eb)
-            row_piece_counts[r] += 2
-        piece_src.append((cur, offsets[r + 1], -1))
-        row_piece_counts[r] += 1
-    if not piece_src:
+    # piece model: for each valid row, alternating keep/replace segments
+    # then one tail — (2*counts + 1) pieces; invalid rows contribute none.
+    li_flat = np.arange(total_tok, dtype=np.int64) - row_tok0[tok_rows]
+    # copied-up-to byte before token k: previous token's end (spans within
+    # a row are sorted + non-overlapping) or the row start
+    eb_shift = np.concatenate([np.zeros(1, np.int64), eb[:-1]])
+    cur = np.where(li_flat > 0, eb_shift, offsets[tok_rows])
+    cur = np.maximum(cur, offsets[tok_rows])
+
+    row_piece_counts = np.where(valid, 2 * counts + 1, 0)
+    row_p0 = np.zeros(n + 1, np.int64)
+    np.cumsum(row_piece_counts, out=row_p0[1:])
+    P = int(row_p0[-1])
+    if P == 0:
         return col
-    ps = np.asarray([p[0] for p in piece_src], np.int64)
-    pe = np.asarray([p[1] for p in piece_src], np.int64)
-    pr = np.asarray([p[2] >= 0 for p in piece_src], np.bool_)
+    ps = np.zeros(P, np.int64)
+    pe = np.zeros(P, np.int64)
+    pr = np.zeros(P, np.bool_)
+    tok_valid = valid[tok_rows]
+    keep_idx = (row_p0[tok_rows] + 2 * li_flat)[tok_valid]
+    ps[keep_idx] = cur[tok_valid]
+    pe[keep_idx] = sb[tok_valid]
+    ps[keep_idx + 1] = rt_off[trid[tok_valid]]
+    pe[keep_idx + 1] = rt_off[trid[tok_valid] + 1]
+    pr[keep_idx + 1] = True
+    vrows = np.nonzero(valid)[0]
+    tail_idx = row_p0[vrows] + 2 * counts[vrows]
+    has_tok = counts[vrows] > 0
+    last_eb = eb[np.maximum(row_tok0[vrows + 1] - 1, 0)]
+    ps[tail_idx] = np.where(
+        has_tok, np.maximum(last_eb, offsets[vrows]), offsets[vrows]
+    )
+    pe[tail_idx] = offsets[vrows + 1]
     plens = np.maximum(pe - ps, 0)
     pb0 = np.zeros(len(ps) + 1, np.int64)
     np.cumsum(plens, out=pb0[1:])
     # per-row output offsets
-    row_p0 = np.zeros(n + 1, np.int64)
-    np.cumsum(row_piece_counts, out=row_p0[1:])
     out_offsets = pb0[row_p0].astype(np.int32)
     total = int(pb0[-1])
 

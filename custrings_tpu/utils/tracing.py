@@ -92,14 +92,16 @@ def traced(name: str):
     import functools
 
     def deco(fn):
+        from .jitguard import call_resilient
+
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             if not _active:
-                return fn(*args, **kwargs)
+                return call_resilient(lambda: fn(*args, **kwargs))
             import jax
 
             t0 = time.perf_counter()
-            out = fn(*args, **kwargs)
+            out = call_resilient(lambda: fn(*args, **kwargs))
             jax.block_until_ready(
                 [
                     leaf

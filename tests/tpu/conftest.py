@@ -20,9 +20,22 @@ sys.setrecursionlimit(10000)
 # jax_platforms=cpu process-wide — which silently skipped this whole leg.
 # The backend is not initialized yet at conftest-import time, so resetting
 # the platform here restores the container default (the TPU tunnel).
-import jax
+# ADVICE r2: the reset is process-wide, so only apply it when this leg is
+# the ONLY thing being collected (its own pytest process, as ci/run_tests.sh
+# invokes it) or when explicitly forced via CUSTRINGS_TPU_LEG=1.  A mixed
+# command line like `pytest tests tests/tpu` keeps the CPU forcing.
+import os
+import sys
 
-jax.config.update("jax_platforms", None)
+_positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+_own_process = os.environ.get("CUSTRINGS_TPU_LEG") == "1" or (
+    bool(_positional)
+    and all("tests/tpu" in a.replace(os.sep, "/") for a in _positional)
+)
+if _own_process:
+    import jax
+
+    jax.config.update("jax_platforms", None)
 
 
 def _backend():
