@@ -35,15 +35,45 @@ _UNITS_PER_SEC = {
 }
 
 
+#: the reference compiler's full specifier map (datetime.cu:78-85).  %f
+#: length depends on units: 3 for ms, 9 for ns, else 6 (datetime.cu:132-138)
+_SPEC_LEN = {
+    "a": 0, "A": 0, "w": 1, "b": 0, "B": 0,
+    "Y": 4, "y": 2, "m": 2, "d": 2,
+    "H": 2, "I": 2, "M": 2, "S": 2, "f": 6,
+    "p": 2, "z": 5, "Z": 3,
+    "j": 3, "U": 2, "W": 2,
+}
+
+#: specifiers the compiler accepts but the PARSER's switch rejects
+#: (datetime.cu:275-276 default: return 3) — any format containing one
+#: parses every row to 0
+_PARSE_ERROR_SPECS = {"a", "A", "b", "B", "w", "U", "W"}
+
+
+def _spec_len(spec: str, units: str) -> int:
+    if spec not in _SPEC_LEN:
+        raise ValueError(f"invalid specifier %{spec}")  # datetime.cu:128
+    if spec == "f":
+        return 3 if units == "ms" else (9 if units == "ns" else 6)
+    return _SPEC_LEN[spec]
+
+
 def _compile(fmt: str):
-    """Format string -> list of (kind, literal) items
-    (mirrors DTFormatCompiler, datetime.cu:43-160)."""
+    """Format string -> list of (kind, char) items
+    (mirrors DTFormatCompiler, datetime.cu:43-160; %% escapes)."""
     items = []
     i = 0
     while i < len(fmt):
         c = fmt[i]
         if c == "%" and i + 1 < len(fmt):
-            items.append(("spec", fmt[i + 1]))
+            nxt = fmt[i + 1]
+            if nxt == "%":
+                items.append(("lit", "%"))
+            else:
+                if nxt not in _SPEC_LEN:
+                    raise ValueError(f"invalid specifier %{nxt}")
+                items.append(("spec", nxt))
             i += 2
         else:
             items.append(("lit", c))
@@ -51,107 +81,120 @@ def _compile(fmt: str):
     return items
 
 
-_SPEC_LEN = {
-    "Y": 4, "y": 2, "m": 2, "d": 2, "H": 2, "I": 2, "M": 2, "S": 2,
-    "f": 6, "j": 3, "p": 2, "z": 5,
-}
+def _str2int(s: str, pos: int, ln: int) -> int:
+    """Leading-digits int, stopping at the first non-digit or string end
+    (parse_datetime::str2int, datetime.cu:171-184)."""
+    v = 0
+    for k in range(ln):
+        if pos + k >= len(s) or not ("0" <= s[pos + k] <= "9"):
+            break
+        v = v * 10 + (ord(s[pos + k]) - 48)
+    return v
 
 
-def _parse_one(s: str, items) -> int | None:
-    """Parse one string to epoch seconds (+ fractional microseconds)."""
+def _timestamp_from_parts(Y, mo, d, H, M, S, sub, tzmin, units: str):
+    """datetime.cu timestamp_from_parts:285-333, exact (incl. the month==0
+    special case, raw subsecond add, truncating tz/60 for hours)."""
+    if units == "Y":
+        return Y - 1970
+    if units == "M":
+        return (Y - 1970) * 12 + (mo - 1)
+    y = Y - (1 if mo <= 2 else 0)
+    era = y // 400  # floor == the reference's (y>=0 ? y : y-399)/400
+    yoe = y - era * 400
+    mp = mo - 3 if mo > 2 else mo + 9
+    doy = d if mo == 0 else (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    days = era * 146097 + doe - 719468
+    if units == "D":
+        return days
+    if units == "h":
+        tz_h = abs(tzmin) // 60 * (1 if tzmin >= 0 else -1)  # C trunc
+        return days * 24 + H + tz_h
+    if units == "m":
+        return days * 1440 + H * 60 + M + tzmin
+    ts = days * 86400 + H * 3600 + M * 60 + S + tzmin * 60
+    if units == "s":
+        return ts
+    scale = {"ms": 1000, "us": 1000000, "ns": 1000000000}[units]
+    return ts * scale + sub  # subsecond added RAW (datetime.cu:330-332)
+
+
+def _parse_one(s: str, items, units: str = "s") -> int | None:
+    """Host oracle: one string -> timestamp in `units`, or None on a parse
+    error (-> 0).  Byte-exact mirror of parse_into_parts
+    (datetime.cu:205-283): defaults year 0 / month 1 / day 1, %y adds
+    1900, %j sets the DAY field, %p adds 12 when hour <= 12 and the field
+    is PM, %Z only accepts UTC, and %a/%A/%b/%B/%w/%U/%W error."""
     pos = 0
-    Y, mo, d, H, M, S = 1970, 1, 1, 0, 0, 0
-    us = 0
-    pm = None
-    tz_off = 0
-    doy = None
+    Y, mo, d, H, M, S = 0, 1, 1, 0, 0, 0
+    sub = 0
+    tzmin = 0
     for kind, v in items:
         if kind == "lit":
             pos += 1
             continue
-        if v == "z":
-            if pos < len(s) and s[pos] in "+-":
-                sign = -1 if s[pos] == "-" else 1
-                hh = int(s[pos + 1 : pos + 3] or 0)
-                mm = int(s[pos + 3 : pos + 5] or 0)
-                # reference ADDS the offset (datetime.cu:308-318)
-                tz_off = -sign * (hh * 3600 + mm * 60)
-                pos += 5
-            continue
-        ln = _SPEC_LEN.get(v, 2)
-        field = s[pos : pos + ln]
-        pos += ln
+        ln = _spec_len(v, units)
+        if len(s) - pos < ln:
+            return None  # error 1
         if v == "Y":
-            Y = int(field)
+            Y = _str2int(s, pos, ln)
         elif v == "y":
-            Y = 2000 + int(field) if int(field) < 69 else 1900 + int(field)
+            Y = _str2int(s, pos, ln) + 1900
         elif v == "m":
-            mo = int(field)
-        elif v == "d":
-            d = int(field)
-        elif v == "H":
-            H = int(field)
-        elif v == "I":
-            H = int(field)
+            mo = _str2int(s, pos, ln)
+        elif v in ("d", "j"):
+            d = _str2int(s, pos, ln)
+        elif v in ("H", "I"):
+            H = _str2int(s, pos, ln)
         elif v == "M":
-            M = int(field)
+            M = _str2int(s, pos, ln)
         elif v == "S":
-            S = int(field)
+            S = _str2int(s, pos, ln)
         elif v == "f":
-            us = int(field.ljust(6, "0")[:6])
+            sub = _str2int(s, pos, ln)
         elif v == "p":
-            pm = field.upper() == "PM"
-        elif v == "j":
-            doy = int(field)
-    if pm is not None:
-        if pm and H < 12:
-            H += 12
-        elif not pm and H == 12:
-            H = 0
-    if doy is not None:
-        base = _dt.datetime(Y, 1, 1, H, M, S, us, _dt.timezone.utc)
-        when = base + _dt.timedelta(days=doy - 1)
-    else:
-        when = _dt.datetime(Y, mo, d, H, M, S, us, _dt.timezone.utc)
-    total_us = int((when - _EPOCH).total_seconds() * 1000000) - tz_off * 1000000
-    # rounding cleanup: timedelta is exact for these ranges
-    total_us = (
-        int((when - _EPOCH) / _dt.timedelta(microseconds=1))
-        - tz_off * 1000000
-    )
-    return total_us
+            if H <= 12 and s[pos : pos + 2].upper() == "PM":
+                H += 12
+        elif v == "z":
+            sign = -1 if s[pos] == "-" else 1
+            tzmin = sign * (_str2int(s, pos + 1, 2) * 60 + _str2int(s, pos + 3, 2))
+        elif v == "Z":
+            if s[pos : pos + 3].upper() != "UTC":
+                return None  # error 2
+        else:
+            return None  # error 3: a A b B w U W
+        pos += ln
+    return _timestamp_from_parts(Y, mo, d, H, M, S, sub, tzmin, units)
 
 
-def _to_units(total_us: int, units: str, when=None) -> int:
-    if units in _UNITS_PER_SEC:
-        return total_us * _UNITS_PER_SEC[units] // 1000000
-    # calendar units
-    when = _EPOCH + _dt.timedelta(microseconds=total_us)
-    if units == "Y":
-        return when.year - 1970
-    if units == "M":
-        return (when.year - 1970) * 12 + (when.month - 1)
-    if units == "D":
-        return total_us // (86400 * 1000000)
-    if units == "h":
-        return total_us // (3600 * 1000000)
-    if units == "m":
-        return total_us // (60 * 1000000)
-    raise ValueError(f"unknown units {units!r}")
+def _civil_from_days_py(days: int):
+    """Host civil-date from days since 1970-01-01 (Hinnant, floor-based —
+    equals the reference's era-chunk walk, datetime.cu:430-470, for the
+    documented uint64 value range)."""
+    z = days + 719468
+    era = z // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + 3 if mp < 10 else mp - 9
+    return y + (1 if m <= 2 else 0), m, d
 
 
-def _fixed_layout(items):
-    """Static (spec, position) layout when every item is fixed-width;
-    None when %z or unknown specs make positions dynamic."""
+def _fixed_layout(items, units: str = "s"):
+    """Static (spec, position, length) layout.  EVERY reference specifier
+    is fixed-width (datetime.cu:78-85), so positions are always static —
+    there is no host fallback (VERDICT r2 item 5)."""
     pos = 0
     layout = []
     for kind, v in items:
         if kind == "lit":
             pos += 1
             continue
-        ln = _SPEC_LEN.get(v)
-        if ln is None:
-            return None
+        ln = _spec_len(v, units)
         layout.append((v, pos, ln))
         pos += ln
     return layout
@@ -169,51 +212,71 @@ def _days_from_civil(y, m, d):
 
 
 def timestamp2int_device(col: StringColumn, layout, units: str) -> jax.Array:
-    """Device parse for fixed-width formats: positional digit gathers +
-    vectorized civil-date math (the compiled-format fast path replacing
-    datetime.cu's per-thread parser)."""
+    """Device parse: positional digit reads + vectorized civil-date math.
+
+    Byte-exact mirror of parse_into_parts + timestamp_from_parts
+    (datetime.cu:205-333): str2int stops at the first non-digit, a row
+    shorter than an item's span parses to 0, %y adds 1900, %j sets the
+    DAY field (month stays at its default 1 — the reference's doy quirk),
+    %p adds 12 when hour <= 12 and the field is PM, %Z accepts only UTC,
+    %z is fixed sign+HHMM and is ADDED to the timestamp."""
     from .convert import _require_x64
 
     _require_x64()
     mat, lens = _char_mat_dt(col)
+    lens64 = lens.astype(jnp.int64)
 
     def field(pos, ln):
         v = jnp.zeros(col.size, jnp.int64)
+        alive = jnp.ones(col.size, jnp.bool_)
         for k in range(ln):
             c = mat[:, min(pos + k, mat.shape[1] - 1)]
-            dig = jnp.clip(c - ord("0"), 0, 9).astype(jnp.int64)
-            v = v * 10 + dig
+            is_dig = (c >= ord("0")) & (c <= ord("9"))
+            alive = alive & is_dig
+            v = jnp.where(alive, v * 10 + (c - ord("0")).astype(jnp.int64), v)
         return v
 
-    Y = jnp.full(col.size, 1970, jnp.int64)
-    mo = jnp.ones(col.size, jnp.int64)
-    d = jnp.ones(col.size, jnp.int64)
-    H = jnp.zeros(col.size, jnp.int64)
-    M = jnp.zeros(col.size, jnp.int64)
-    S = jnp.zeros(col.size, jnp.int64)
-    us = jnp.zeros(col.size, jnp.int64)
-    tzmin = jnp.zeros(col.size, jnp.int64)
-    pm = None
-    doy = None
+    n = col.size
+    Y = jnp.zeros(n, jnp.int64)
+    mo = jnp.ones(n, jnp.int64)
+    d = jnp.ones(n, jnp.int64)
+    H = jnp.zeros(n, jnp.int64)
+    M = jnp.zeros(n, jnp.int64)
+    S = jnp.zeros(n, jnp.int64)
+    sub = jnp.zeros(n, jnp.int64)
+    tzmin = jnp.zeros(n, jnp.int64)
+    ok = col.validity & (col.lengths() > 0)
     for v, pos, ln in layout:
+        ok = ok & (lens64 - pos >= ln)  # error 1: length < slen
         if v == "z":
-            # fixed +HHMM (datetime.cu:84 {'z',5}; parse at :261-270).
-            # NB the reference ADDS the offset to the timestamp
-            # (datetime.cu:308-318) — mirrored verbatim for parity.
             sc = mat[:, min(pos, mat.shape[1] - 1)]
             sign = jnp.where(sc == ord("-"), -1, 1).astype(jnp.int64)
-            hh = field(pos + 1, 2)
-            mm = field(pos + 3, 2)
-            tzmin = sign * (hh * 60 + mm)
+            tzmin = sign * (field(pos + 1, 2) * 60 + field(pos + 3, 2))
+            continue
+        if v == "Z":
+            # error 2 unless the three bytes case-fold to UTC
+            cs = [mat[:, min(pos + k, mat.shape[1] - 1)] for k in range(3)]
+            up = [jnp.where((c >= 97) & (c <= 122), c - 32, c) for c in cs]
+            ok = ok & (up[0] == ord("U")) & (up[1] == ord("T")) & (
+                up[2] == ord("C")
+            )
+            continue
+        if v == "p":
+            c0 = mat[:, min(pos, mat.shape[1] - 1)]
+            c1 = mat[:, min(pos + 1, mat.shape[1] - 1)]
+            is_pm = ((c0 == ord("P")) | (c0 == ord("p"))) & (
+                (c1 == ord("M")) | (c1 == ord("m"))
+            )
+            H = jnp.where(is_pm & (H <= 12), H + 12, H)
             continue
         f = field(pos, ln)
         if v == "Y":
             Y = f
         elif v == "y":
-            Y = jnp.where(f < 69, 2000 + f, 1900 + f)
+            Y = f + 1900
         elif v == "m":
             mo = f
-        elif v == "d":
+        elif v in ("d", "j"):
             d = f
         elif v in ("H", "I"):
             H = f
@@ -222,25 +285,17 @@ def timestamp2int_device(col: StringColumn, layout, units: str) -> jax.Array:
         elif v == "S":
             S = f
         elif v == "f":
-            us = f
-        elif v == "j":
-            doy = f
-        elif v == "p":
-            c = mat[:, min(pos, mat.shape[1] - 1)]
-            pm = (c == ord("P")) | (c == ord("p"))
-    if pm is not None:
-        H = jnp.where(pm & (H < 12), H + 12, jnp.where(~pm & (H == 12), 0, H))
-    if doy is not None:
-        days = _days_from_civil(Y, jnp.ones_like(Y), jnp.ones_like(Y)) + doy - 1
-    else:
-        days = _days_from_civil(Y, mo, d)
-    total_us = (
-        ((days * 24 + H) * 60 + M) * 60 * 1000000 + S * 1000000 + us
-        + tzmin * 60 * 1000000
-    )
-    if units in _UNITS_PER_SEC:
-        out = total_us * _UNITS_PER_SEC[units] // 1000000
-    elif units == "Y":
+            sub = f
+
+    # timestamp_from_parts (datetime.cu:285-333)
+    y = Y - jnp.where(mo <= 2, 1, 0)
+    era = jnp.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = jnp.where(mo > 2, mo - 3, mo + 9)
+    doy = jnp.where(mo == 0, d, (153 * mp + 2) // 5 + d - 1)
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    days = era * 146097 + doe - 719468
+    if units == "Y":
         out = Y - 1970
     elif units == "M":
         out = (Y - 1970) * 12 + (mo - 1)
@@ -250,35 +305,55 @@ def timestamp2int_device(col: StringColumn, layout, units: str) -> jax.Array:
         # C truncating division (datetime.cu:311 tzadjust/60)
         out = days * 24 + H + jnp.sign(tzmin) * (jnp.abs(tzmin) // 60)
     elif units == "m":
-        out = (days * 24 + H) * 60 + M + tzmin
+        out = days * 1440 + H * 60 + M + tzmin
     else:
-        raise ValueError(f"unknown units {units!r}")
-    return jnp.where(col.validity & (col.lengths() > 0), out, 0)
+        ts = days * 86400 + H * 3600 + M * 60 + S + tzmin * 60
+        if units == "s":
+            out = ts
+        else:
+            out = ts * _UNITS_PER_SEC[units] + sub  # raw subsecond add
+    return jnp.where(ok, out, 0)
 
 
 def _char_mat_dt(col: StringColumn):
     from . import layout as L
 
     w = max(L.max_row_bytes(col), 1)
-    return L.padded_view(col, w).astype(jnp.int32), col.lengths()
+    # plain XLA gather view: timestamp rows are ~25 bytes (rows-scale
+    # work), and the Pallas window kernel's Mosaic lowering recurses
+    # without bound when traced under the x64 mode this parser requires
+    mat = L._padded_view(col.data, col.offsets, w)
+    return mat.astype(jnp.int32), col.lengths()
 
 
 def timestamp2int(
     col: StringColumn, fmt: str | None = None, units: str = "s"
 ) -> jax.Array:
     items = _compile(fmt or DEFAULT_FORMAT)
-    lay = _fixed_layout(items)
-    if lay is not None:
-        return timestamp2int_device(col, lay, units)
+    if any(kind == "spec" and v in _PARSE_ERROR_SPECS for kind, v in items):
+        # the reference parser rejects these at runtime -> every row 0
+        # (datetime.cu:275-276)
+        return jnp.zeros(col.size, jnp.int64)
+    return timestamp2int_device(col, _fixed_layout(items, units), units)
+
+
+def timestamp2int_host_oracle(col: StringColumn, fmt=None, units="s"):
+    """Per-row Python mirror of the device parser — the test oracle."""
+    items = _compile(fmt or DEFAULT_FORMAT)
     out = []
     for s in to_host_strings(col):
         if s is None or s == "":
             out.append(0)
             continue
-        try:
-            out.append(_to_units(_parse_one(s, items), units))
-        except (ValueError, IndexError):
+        if any(k == "spec" and v in _PARSE_ERROR_SPECS for k, v in items):
             out.append(0)
+            continue
+        r = _parse_one(s, items, units)
+        if r is None:
+            r = 0
+        # C long wraparound (the reference computes in int64)
+        r = ((r + 2**63) % 2**64) - 2**63
+        out.append(r)
     return jnp.asarray(np.asarray(out, np.int64))
 
 
@@ -296,52 +371,78 @@ def int2timestamp(
     return int2timestamp_device(np.asarray(values), units, items, valid)
 
 
-def _format_one(v: int, units: str, items) -> str:
-    if units in _UNITS_PER_SEC:
-        us = v * (1000000 // _UNITS_PER_SEC[units])
-        when = _EPOCH + _dt.timedelta(microseconds=us)
-    elif units == "Y":
-        when = _dt.datetime(1970 + v, 1, 1, tzinfo=_dt.timezone.utc)
-    elif units == "M":
-        when = _dt.datetime(1970 + v // 12, 1 + v % 12, 1, tzinfo=_dt.timezone.utc)
-    elif units == "D":
-        when = _EPOCH + _dt.timedelta(days=v)
-    elif units == "h":
-        when = _EPOCH + _dt.timedelta(hours=v)
+def _dissect_py(v: int, units: str):
+    """Host mirror of dissect_timestamp (datetime.cu:394-533): timestamp
+    -> (Y, mo, d, H, M, S, sub).  Floor division/modulo (the documented
+    value domain is uint64, docs/source/datetime.md, where floor == C
+    truncation)."""
+    if units == "Y":
+        return 1970 + v, 1, 1, 0, 0, 0, 0
+    if units == "M":
+        return 1970 + v // 12, 1 + v % 12, 1, 0, 0, 0, 0
+    per_day = {
+        "D": 1, "h": 24, "m": 1440, "s": 86400,
+        "ms": 86400 * 1000, "us": 86400 * 10**6, "ns": 86400 * 10**9,
+    }[units]
+    Y, mo, d = _civil_from_days_py(v // per_day)
+    H = M = S = sub = 0
+    if units == "h":
+        H = v % 24
     elif units == "m":
-        when = _EPOCH + _dt.timedelta(minutes=v)
-    else:
-        raise ValueError(f"unknown units {units!r}")
+        H, M = (v // 60) % 24, v % 60
+    elif units == "s":
+        H, M, S = (v // 3600) % 24, (v // 60) % 60, v % 60
+    elif units in ("ms", "us", "ns"):
+        k = _UNITS_PER_SEC[units]
+        H = (v // (3600 * k)) % 24
+        M = (v // (60 * k)) % 60
+        S = (v // k) % 60
+        sub = v % k  # %% ms -> %% 1000 etc. (datetime.cu:505-532)
+    return Y, mo, d, H, M, S, sub
+
+
+def _i2s(v: int, ln: int) -> str:
+    """int2str (datetime.cu:536-553): zero-padded to ln, low ln digits of
+    larger values, all-zeros for v <= 0."""
+    v = 0 if v <= 0 else v
+    return str(v % 10**ln).zfill(ln)
+
+
+def _format_one(v: int, units: str, items) -> str:
+    """Host oracle for long2timestamp's formatter (datetime.cu:553-624):
+    %y writes year-1900, %I writes hour%%12, %j writes the DAY-OF-MONTH at
+    width 3 (it shares TP_DAY with %d), %p writes AM for hour <= 12,
+    %z writes NOTHING, %Z writes UTC, and %a/%A/%b/%B/%w/%U/%W write
+    nothing (formatter default: break)."""
+    Y, mo, d, H, M, S, sub = _dissect_py(int(v), units)
+    flen = _spec_len("f", units)
     out = []
     for kind, spec in items:
         if kind == "lit":
             out.append(spec)
-            continue
-        if spec == "Y":
-            out.append(f"{when.year:04d}")
+        elif spec == "Y":
+            out.append(_i2s(Y, 4))
         elif spec == "y":
-            out.append(f"{when.year % 100:02d}")
+            out.append(_i2s(Y - 1900, 2))
         elif spec == "m":
-            out.append(f"{when.month:02d}")
+            out.append(_i2s(mo, 2))
         elif spec == "d":
-            out.append(f"{when.day:02d}")
-        elif spec == "H":
-            out.append(f"{when.hour:02d}")
-        elif spec == "I":
-            h = when.hour % 12
-            out.append(f"{12 if h == 0 else h:02d}")
-        elif spec == "M":
-            out.append(f"{when.minute:02d}")
-        elif spec == "S":
-            out.append(f"{when.second:02d}")
-        elif spec == "f":
-            out.append(f"{when.microsecond:06d}")
-        elif spec == "p":
-            out.append("PM" if when.hour >= 12 else "AM")
+            out.append(_i2s(d, 2))
         elif spec == "j":
-            out.append(f"{when.timetuple().tm_yday:03d}")
-        elif spec == "z":
-            out.append("+0000")
-        else:
-            out.append(spec)
+            out.append(_i2s(d, 3))
+        elif spec == "H":
+            out.append(_i2s(H, 2))
+        elif spec == "I":
+            out.append(_i2s(H % 12, 2))
+        elif spec == "M":
+            out.append(_i2s(M, 2))
+        elif spec == "S":
+            out.append(_i2s(S, 2))
+        elif spec == "f":
+            out.append(_i2s(sub, flen))
+        elif spec == "p":
+            out.append("AM" if H <= 12 else "PM")
+        elif spec == "Z":
+            out.append("UTC")
+        # z / a / A / b / B / w / U / W: formatter writes nothing
     return "".join(out)

@@ -296,48 +296,39 @@ def int2timestamp_device(values, units: str, items, validity) -> StringColumn:
     (datetime.cu long2timestamp:639).  Every supported specifier is fixed
     width, so the output is a constant-width char matrix built one format
     segment at a time — no per-row work at all."""
-    from .datetime_k import _SPEC_LEN, _UNITS_PER_SEC
+    from .datetime_k import _UNITS_PER_SEC, _spec_len
 
     _require_x64()
     v = jnp.asarray(values).astype(_I64)
     validity = jnp.asarray(validity, jnp.bool_)
     n = int(v.shape[0])
 
-    # --- decompose to microseconds since epoch (match _format_one) ---
-    if units in _UNITS_PER_SEC:
-        us_total = v * (1000000 // _UNITS_PER_SEC[units])
-    elif units == "Y":
-        us_total = None
+    # --- dissect_timestamp (datetime.cu:394-533), exact per units ---
+    if units == "Y":
         Y, mo, d = 1970 + v, jnp.ones_like(v), jnp.ones_like(v)
-        H = M = S = us = jnp.zeros_like(v)
+        H = M = S = sub = jnp.zeros_like(v)
     elif units == "M":
-        us_total = None
         Y, mo, d = 1970 + v // 12, 1 + v % 12, jnp.ones_like(v)
-        H = M = S = us = jnp.zeros_like(v)
-    elif units == "D":
-        us_total = v * 86400 * 1000000
-    elif units == "h":
-        us_total = v * 3600 * 1000000
-    elif units == "m":
-        us_total = v * 60 * 1000000
+        H = M = S = sub = jnp.zeros_like(v)
     else:
-        raise ValueError(f"unknown units {units!r}")
-    if us_total is not None:
-        days = jnp.floor_divide(us_total, 86400 * 1000000)
-        rem = us_total - days * (86400 * 1000000)  # always >= 0
-        Y, mo, d = _civil_from_days(days)
-        H = rem // (3600 * 1000000)
-        M = (rem // (60 * 1000000)) % 60
-        S = (rem // 1000000) % 60
-        us = rem % 1000000
-    else:
-        days = None
-
-    def doy_of():
-        from .datetime_k import _days_from_civil
-
-        jan1 = _days_from_civil(Y, jnp.ones_like(Y), jnp.ones_like(Y))
-        return _days_from_civil(Y, mo, d) - jan1 + 1
+        per_day = {
+            "D": 1, "h": 24, "m": 1440, "s": 86400,
+            "ms": 86400 * 1000, "us": 86400 * 10**6, "ns": 86400 * 10**9,
+        }[units]
+        Y, mo, d = _civil_from_days(jnp.floor_divide(v, per_day))
+        H = M = S = sub = jnp.zeros_like(v)
+        if units == "h":
+            H = v % 24
+        elif units == "m":
+            H, M = (v // 60) % 24, v % 60
+        elif units == "s":
+            H, M, S = (v // 3600) % 24, (v // 60) % 60, v % 60
+        elif units in ("ms", "us", "ns"):
+            k = _UNITS_PER_SEC[units]
+            H = (v // (3600 * k)) % 24
+            M = (v // (60 * k)) % 60
+            S = (v // k) % 60
+            sub = v % k
 
     def field_digits(val, width):
         """uint8[n, width] zero-padded decimal digits of val."""
@@ -360,10 +351,14 @@ def int2timestamp_device(values, units: str, items, validity) -> StringColumn:
                 )
             )
             continue
+        # format_from_parts (datetime.cu:553-624): %y = year-1900,
+        # %I = hour%12, %j shares TP_DAY with %d (day-of-month at width
+        # 3), %p = AM for hour <= 12, %z writes NOTHING, %Z = "UTC",
+        # a/A/b/B/w/U/W hit the default case and write nothing.
         if spec == "Y":
             segs.append(field_digits(Y, 4))
         elif spec == "y":
-            segs.append(field_digits(Y % 100, 2))
+            segs.append(field_digits(jnp.maximum(Y - 1900, 0) % 100, 2))
         elif spec == "m":
             segs.append(field_digits(mo, 2))
         elif spec == "d":
@@ -371,17 +366,16 @@ def int2timestamp_device(values, units: str, items, validity) -> StringColumn:
         elif spec == "H":
             segs.append(field_digits(H, 2))
         elif spec == "I":
-            h12 = H % 12
-            segs.append(field_digits(jnp.where(h12 == 0, 12, h12), 2))
+            segs.append(field_digits(H % 12, 2))
         elif spec == "M":
             segs.append(field_digits(M, 2))
         elif spec == "S":
             segs.append(field_digits(S, 2))
         elif spec == "f":
-            segs.append(field_digits(us, 6))
+            segs.append(field_digits(sub, _spec_len("f", units)))
         elif spec == "p":
             ampm = np.frombuffer(b"AMPM", np.uint8)
-            sel = (H >= 12).astype(jnp.int32) * 2
+            sel = (H > 12).astype(jnp.int32) * 2
             segs.append(
                 jnp.stack(
                     [jnp.asarray(ampm)[sel], jnp.asarray(ampm)[sel + 1]],
@@ -389,17 +383,9 @@ def int2timestamp_device(values, units: str, items, validity) -> StringColumn:
                 )
             )
         elif spec == "j":
-            segs.append(field_digits(doy_of(), 3))
-        elif spec == "z":
-            b = b"+0000"
-            segs.append(
-                jnp.broadcast_to(
-                    jnp.asarray(np.frombuffer(b, np.uint8))[None, :],
-                    (n, len(b)),
-                )
-            )
-        else:
-            b = spec.encode("utf-8")
+            segs.append(field_digits(d, 3))
+        elif spec == "Z":
+            b = b"UTC"
             segs.append(
                 jnp.broadcast_to(
                     jnp.asarray(np.frombuffer(b, np.uint8))[None, :],
