@@ -630,6 +630,264 @@ class DeviceProgram:
             jnp.where(matched, best_e, -1).astype(jnp.int32),
         )
 
+    def spans_exec(self, chars, lengths, begins, ends, group_id: int,
+                   ascii: bool = False):
+        """Exact-span executor selector: the vectorized ordered-closure
+        engine for programs <= 128 insts (its packed claim key needs
+        4*log2(I) bits), the per-row DFS beyond or when
+        CUSTRINGS_ORDERED=0."""
+        import os
+
+        if self.I <= 128 and os.environ.get("CUSTRINGS_ORDERED") != "0":
+            return self.ordered_spans(
+                chars, lengths, begins, ends, group_id, ascii
+            )
+        return self.run_spans(chars, lengths, begins, ends, group_id, ascii)
+
+    # -------- executor B2: ordered closure, vectorized over rows --------
+
+    def _ordered_tables(self, group_id: int):
+        """Host precompute for ordered_spans (cached per group).
+
+        For each anchor context and each seed inst s, run the reference's
+        addthread DFS (regexec.inl:279-362) standalone and record, for
+        every consuming/END inst t it reaches: the visit RANK (list
+        position), and whether the path crossed LBRA/RBRA of `group_id`.
+
+        Why per-seed standalone DFS is exact: in the merged expansion the
+        claimant of t is the lowest-priority-index seed whose closure
+        contains t (if a higher seed's path to t passed through any node v
+        of an earlier closure, then t would be in that earlier closure —
+        reachability is transitive), and within that seed the first DFS
+        path is unaffected by earlier seeds for the same reason.  So
+        merged claim = lexicographic min over seeds of (seed priority,
+        standalone rank), with the capture bits of that standalone path.
+        """
+        if not hasattr(self, "_otabs"):
+            self._otabs = {}
+        if group_id in self._otabs:
+            return self._otabs[group_id]
+        prog = self.prog
+        I = self.I
+        INFR = np.int32(1 << 20)
+        consuming = (CHAR, ANY, ANYNL, CCLASS, NCCLASS, END)
+        R = np.full((32, I, I), INFR, np.int32)
+        SB = np.zeros((32, I, I), np.bool_)
+        SE = np.zeros((32, I, I), np.bool_)
+        for ctx in range(32):
+            for s in range(I):
+                stack = [(s, False, False)]
+                visited = np.zeros(I, np.bool_)
+                rank = 0
+                while stack:
+                    iid, sb, se = stack.pop()
+                    if visited[iid]:
+                        continue
+                    visited[iid] = True
+                    t = prog.types[iid]
+                    if t in consuming:
+                        R[ctx, s, iid] = rank
+                        SB[ctx, s, iid] = sb
+                        SE[ctx, s, iid] = se
+                        rank += 1
+                        continue
+                    sb2 = sb or (t == LBRA and prog.args[iid] == group_id)
+                    se2 = se or (t == RBRA and prog.args[iid] == group_id)
+                    if t == OR:
+                        # next = low priority (pushed first), args = high
+                        stack.append((prog.next_ids[iid], sb2, se2))
+                        stack.append((prog.args[iid], sb2, se2))
+                    elif _edge_active(t, prog.args[iid], ctx):
+                        stack.append((prog.next_ids[iid], sb2, se2))
+        # dedupe contexts
+        uniq, ctx_map = [], np.zeros(32, np.int32)
+        for ctx in range(32):
+            for k, (r0, b0, e0) in enumerate(uniq):
+                if (
+                    (r0 == R[ctx]).all()
+                    and (b0 == SB[ctx]).all()
+                    and (e0 == SE[ctx]).all()
+                ):
+                    ctx_map[ctx] = k
+                    break
+            else:
+                ctx_map[ctx] = len(uniq)
+                uniq.append((R[ctx], SB[ctx], SE[ctx]))
+        # per-target static seed column lists (any finite rank in any ctx)
+        anyfin = np.zeros((I, I), np.bool_)
+        for r0, _, _ in uniq:
+            anyfin |= r0 < INFR
+        cols = [np.nonzero(anyfin[:, t])[0] for t in range(I)]
+        tabs = (
+            [u[0] for u in uniq],
+            [u[1] for u in uniq],
+            [u[2] for u in uniq],
+            np.asarray(ctx_map),
+            cols,
+        )
+        self._otabs[group_id] = tabs
+        return tabs
+
+    @partial(jax.jit, static_argnums=(0, 5, 6))
+    def ordered_spans(self, chars, lengths, begins, ends, group_id: int,
+                      ascii: bool = False):
+        """run_spans semantics, vectorized over rows (VERDICT r2 item 3).
+
+        Replaces the per-row DFS while-loop with per-position claim
+        resolution over the precomputed standalone-DFS rank tables: each
+        consuming inst's claim key is min over seed threads of
+        (seed priority, DFS rank, seed id) packed into one int32.  A
+        dense re-rank per position (two batched argsorts) keeps keys
+        bounded.  Matches regexec.inl list semantics exactly (validated
+        against run_spans on the fuzz corpus)."""
+        N, L = chars.shape
+        I = self.I
+        Runi, SBuni, SEuni, ctx_map_o, cols = self._ordered_tables(group_id)
+        U = len(Runi)
+        INF = jnp.int32(1 << 30)
+        INFR = 1 << 20
+        start_ids = np.asarray(jax.device_get(self.start_ids))
+        S = len(start_ids)
+        types_np = self.prog.types
+        next_np = self.prog.next_ids
+        end_ids = np.nonzero(types_np == END)[0]
+        is_cons_np = np.isin(
+            types_np, (CHAR, ANY, ANYNL, CCLASS, NCCLASS)
+        )
+        # consume columns: for t', the consuming (non-END) insts i -> t'
+        ccols = [
+            np.nonzero(is_cons_np & (next_np == t))[0] for t in range(I)
+        ]
+        ctx_map_j = jnp.asarray(ctx_map_o)
+
+        def sel_u(uid, table_list, s, t):
+            """Per-row scalar select of table[u][s, t] over unique ctxs."""
+            if U == 1:
+                return jnp.full_like(uid, int(table_list[0][s, t]))
+            out = jnp.full_like(uid, int(table_list[U - 1][s, t]))
+            for u in range(U - 2, -1, -1):
+                out = jnp.where(uid == u, int(table_list[u][s, t]), out)
+            return out
+
+        g0 = group_id == 0
+
+        def step(p, carry):
+            key, b, e, matched, mb, me = carry
+            upd = p <= lengths  # freeze rows past their own end
+            cur = jnp.where(upd, chars[:, jnp.minimum(p, L - 1)], 0)
+            prev = jnp.where(
+                (p > 0) & (p - 1 < lengths),
+                chars[:, jnp.maximum(jnp.minimum(p - 1, L - 1), 0)],
+                0,
+            )
+            # inject start threads (appended = lowest priority)
+            can_inject = (
+                upd & ~matched & (p >= begins) & ((ends < 0) | (p < ends))
+            )
+            for k, sid in enumerate(start_ids):
+                take = can_inject & (key[:, sid] >= INF)
+                key = key.at[:, sid].set(
+                    jnp.where(take, jnp.int32(I + k), key[:, sid])
+                )
+                b = b.at[:, sid].set(
+                    jnp.where(take, jnp.int32(p if g0 else -1), b[:, sid])
+                )
+                e = e.at[:, sid].set(
+                    jnp.where(take, jnp.int32(-1), e[:, sid])
+                )
+            ctx = self._ctx_bits(prev, cur, jnp.full(N, p == 0), ascii)
+            uid = ctx_map_j[ctx]
+            # expand: claim each consuming/END inst
+            ck_cols, cb_cols, ce_cols = [], [], []
+            for t in range(I):
+                bestk = jnp.full((N,), INF)
+                bestb = jnp.zeros((N,), jnp.int32)
+                beste = jnp.zeros((N,), jnp.int32)
+                for s in cols[t]:
+                    rnk = sel_u(uid, Runi, s, t)
+                    cand = jnp.where(
+                        (key[:, s] < INF) & (rnk < INFR),
+                        key[:, s] * (I * I) + rnk * I + jnp.int32(s % I),
+                        INF,
+                    )
+                    sb = sel_u(uid, SBuni, s, t) > 0
+                    se = sel_u(uid, SEuni, s, t) > 0
+                    cb = jnp.where(sb, p, b[:, s])
+                    ce = jnp.where(se, p, e[:, s])
+                    take = cand < bestk
+                    bestk = jnp.where(take, cand, bestk)
+                    bestb = jnp.where(take, cb, bestb)
+                    beste = jnp.where(take, ce, beste)
+                ck_cols.append(bestk)
+                cb_cols.append(bestb)
+                ce_cols.append(beste)
+            ckey = jnp.stack(ck_cols, axis=1)  # [N, I]
+            cb = jnp.stack(cb_cols, axis=1)
+            ce = jnp.stack(ce_cols, axis=1)
+            # END: highest-priority END thread matches; drop lower threads
+            if len(end_ids):
+                ek = jnp.full((N,), INF)
+                eb = jnp.zeros((N,), jnp.int32)
+                ee = jnp.zeros((N,), jnp.int32)
+                for t in end_ids:
+                    take = ckey[:, t] < ek
+                    ek = jnp.where(take, ckey[:, t], ek)
+                    eb = jnp.where(take, cb[:, t], eb)
+                    ee = jnp.where(take, ce[:, t], ee)
+                new_m = upd & (ek < INF)
+                mb = jnp.where(new_m, eb, mb)
+                me = jnp.where(new_m, jnp.int32(p) if g0 else ee, me)
+                matched = matched | new_m
+                ckey = jnp.where(ckey > ek[:, None], INF, ckey)
+            # consume
+            pred = self._char_pred(cur, ascii)  # [N, I]
+            fired = jnp.where(
+                pred & (ckey < INF) & upd[:, None], ckey, INF
+            )
+            nk_cols, nb_cols, ne_cols = [], [], []
+            for t in range(I):
+                bestk = jnp.full((N,), INF)
+                bestb = jnp.zeros((N,), jnp.int32)
+                beste = jnp.zeros((N,), jnp.int32)
+                for i in ccols[t]:
+                    take = fired[:, i] < bestk
+                    bestk = jnp.where(take, fired[:, i], bestk)
+                    bestb = jnp.where(take, cb[:, i], bestb)
+                    beste = jnp.where(take, ce[:, i], beste)
+                nk_cols.append(bestk)
+                nb_cols.append(bestb)
+                ne_cols.append(beste)
+            nkey = jnp.stack(nk_cols, axis=1)
+            nb = jnp.stack(nb_cols, axis=1)
+            ne = jnp.stack(ne_cols, axis=1)
+            # dense re-rank (keys stay < I after this; injection uses I+k)
+            order = jnp.argsort(nkey, axis=1)
+            rank = jnp.argsort(order, axis=1).astype(jnp.int32)
+            nkey = jnp.where(nkey < INF, rank, INF)
+            # frozen rows keep their previous state
+            key = jnp.where(upd[:, None], nkey, key)
+            b = jnp.where(upd[:, None], nb, b)
+            e = jnp.where(upd[:, None], ne, e)
+            return key, b, e, matched, mb, me
+
+        key0 = jnp.full((N, I), INF)
+        b0 = jnp.zeros((N, I), jnp.int32)
+        e0 = jnp.zeros((N, I), jnp.int32)
+        carry = (
+            key0, b0, e0,
+            jnp.zeros(N, jnp.bool_),
+            jnp.full(N, -1, jnp.int32),
+            jnp.full(N, -1, jnp.int32),
+        )
+        key, b, e, matched, mb, me = jax.lax.fori_loop(
+            0, L + 1, step, carry
+        )
+        return (
+            matched.astype(jnp.int32),
+            jnp.where(matched, mb, -1),
+            jnp.where(matched, me, -1),
+        )
+
     # ---------------- executor B: spans/captures ----------------
 
     @partial(jax.jit, static_argnums=(0, 5, 6))
@@ -882,7 +1140,7 @@ class DeviceProgram:
         def body(state):
             r, begins, active, counts, B, E = state
             if exact:
-                m, b, e = self.run_spans(
+                m, b, e = self.spans_exec(
                     chars, lengths, begins, jnp.full((N,), -1, jnp.int32), 0,
                     ascii,
                 )

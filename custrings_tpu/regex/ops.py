@@ -350,12 +350,12 @@ def extract(col: StringColumn, pattern: str) -> list[StringColumn]:
     chars, nch = _mats(col)
     n = col.size
     zeros = jnp.zeros(n, jnp.int32)
-    m0, b0, e0 = dp.run_spans(chars, nch, zeros, jnp.full(n, -1, jnp.int32), 0)
+    m0, b0, e0 = dp.spans_exec(chars, nch, zeros, jnp.full(n, -1, jnp.int32), 0)
     m0_np = np.asarray(jax.device_get(m0)) > 0
     b0_np = np.asarray(jax.device_get(b0))
     out = []
     for g in range(1, groups + 1):
-        mg, bg, eg = dp.run_spans(
+        mg, bg, eg = dp.spans_exec(
             chars,
             nch,
             jnp.asarray(np.where(m0_np, b0_np, 0), jnp.int32),
@@ -438,6 +438,8 @@ def _splice(col: StringColumn, spans, repl) -> StringColumn:
     row_tok0 = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=row_tok0[1:])
     total_tok = int(row_tok0[-1])
+    if total_tok == 0:  # no matches anywhere: replace is the identity
+        return col
     # slot of hit (round i, row r) = row_tok0[r] + (#hits at rounds < i)
     li = H.cumsum(0) - 1
     slot = (row_tok0[None, :-1] + li)[H]
@@ -552,7 +554,7 @@ def _multi_spans_fn(patterns: tuple):
                 if fasts[k]:
                     m, b, e = dp.nfa_spans(chars, lengths, begins)
                 else:
-                    m, b, e = dp.run_spans(
+                    m, b, e = dp.spans_exec(
                         chars, lengths, begins,
                         jnp.full((N,), -1, jnp.int32), 0,
                     )
@@ -643,7 +645,7 @@ def replace_with_backrefs(
     begins = np.zeros(n, np.int64)
     active = np.asarray(jax.device_get(col.validity)).copy()
     while active.any():
-        m, b, e = dp.run_spans(
+        m, b, e = dp.spans_exec(
             chars, nch, jnp.asarray(begins, jnp.int32),
             jnp.full(n, -1, jnp.int32), 0,
         )
@@ -655,7 +657,7 @@ def replace_with_backrefs(
             break
         gspans = {}
         for g in range(1, dp.groups_count + 1):
-            mg, bg, eg = dp.run_spans(
+            mg, bg, eg = dp.spans_exec(
                 chars, nch,
                 jnp.asarray(np.where(hit, b_np, 0), jnp.int32),
                 jnp.asarray(np.where(hit, b_np + 1, 0), jnp.int32),

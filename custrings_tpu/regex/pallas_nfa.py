@@ -271,7 +271,11 @@ class PallasNFA:
         # position-major layouts: step p reads sublane row p (no rolling)
         memb_planes = [membw[:, :, w].T for w in range(W32)]
         tile_specs = [pl.BlockSpec((L, T), lambda i: (0, i))] * W32
-        out = pl.pallas_call(
+            # Mosaic lowering recurses unboundedly under global jax_enable_x64
+        # (convert/datetime flip it); these kernels are 32-bit-only, so
+        # trace with x64 off.
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int32),
             grid=(NP // T,),

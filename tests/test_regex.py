@@ -137,6 +137,14 @@ def test_replace_re(find, repl):
     assert got == exp
 
 
+def test_replace_no_match_anywhere():
+    # zero matches across the whole column: replace is the identity
+    # (regression: _splice indexed an empty span array, round-3 verify)
+    s = ["hello world", "over the", "lazy dog"]
+    col = dev(s)
+    assert host(rx.replace_re(col, r"(\w+)@(\w+)", "X")) == s
+
+
 def test_replace_word_boundary():
     s = [
         "xxx 1281151 xxxxxx xxxxxxx xxxx xxxx - xxxxx xxxx xx 24",
