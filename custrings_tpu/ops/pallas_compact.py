@@ -176,7 +176,11 @@ def _compact_p(data, k0, srclo, interpret: bool):
         + [pltpu.VMEM((WIN // 4 + ALIGN // 4,), jnp.int32) for _ in range(4)]
         + [pltpu.SemaphoreType.DMA((5,))],
     )
-    out = pl.pallas_call(
+    # Mosaic lowering recurses unboundedly under global jax_enable_x64
+    # (convert/datetime flip it); these kernels are 32-bit-only, so
+    # trace with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
         _compact_kernel,
         out_shape=jax.ShapeDtypeStruct((ntiles, TB // 4), jnp.int32),
         grid_spec=grid_spec,

@@ -104,7 +104,11 @@ def hash_rows_pallas(view_u32, lens, _unused, interpret: bool):
 
     NB = blocks.shape[1]
     grid = (NP // T,)
-    out = pl.pallas_call(
+    # Mosaic lowering recurses unboundedly under global jax_enable_x64
+    # (convert/datetime flip it); these kernels are 32-bit-only, so
+    # trace with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
         _hash_kernel,
         out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.uint32),
         grid=grid,

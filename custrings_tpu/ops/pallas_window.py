@@ -136,7 +136,12 @@ def ragged_gather(data: jax.Array, starts: jax.Array, width: int) -> jax.Array:
         return jnp.zeros((0, width), jnp.uint8)  # grid=(0,) crashes Mosaic
     # out block lane dim is W//4 int32 words: keep it a 128 multiple
     W = max(-(-width // 512) * 512, 512)  # out lane dim: 128-word multiple
-    out32 = _ragged_gather_p(data, starts, W, use_interpret_mode())
+    # Mosaic lowering of this kernel recurses without bound when traced
+    # under jax_enable_x64 (which convert/datetime ops flip on globally);
+    # the kernel is pure uint8/int32, so trace it with x64 off.
+    starts = starts.astype(jnp.int32)
+    with jax.enable_x64(False):
+        out32 = _ragged_gather_p(data, starts, W, use_interpret_mode())
     n = out32.shape[0]
     out8 = jax.lax.bitcast_convert_type(out32, jnp.uint8).reshape(n, W)
     return out8[:, :width]
