@@ -16,7 +16,27 @@ import numpy as np
 
 # Persistent XLA compile cache: remote (tunneled) TPU compiles run tens of
 # seconds each; caching them on disk makes repeat bench runs start warm.
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+# The dir is salted by the git commit: round-3 measurement found a shared
+# cache can serve a STALE/colliding executable across code versions
+# (probe runs read absurd ~0 ms timings until the cache was dropped).
+def _cache_dir():
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)
+            ),
+        ).stdout.strip() or "nogit"
+    except Exception:
+        sha = "nogit"
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache", sha
+    )
+
+
+_CACHE = _cache_dir()
 os.makedirs(_CACHE, exist_ok=True)
 import jax as _jax_cfg
 
@@ -86,6 +106,52 @@ def bench_pandas(lines, iters=3):
     return (time.time() - t0) / iters
 
 
+HBM_GBPS = 819.0  # v5e HBM bandwidth (roofline denominator)
+
+
+def _op_bytes(lines, which: str) -> float:
+    """Logical bytes moved per op iteration (documented accounting:
+    input bytes read + output bytes/offsets written; sort passes in
+    categorize counted once each way over the 64-byte key prefix)."""
+    cap = sum(len(s.encode()) for s in lines)
+    n = len(lines)
+    ntok = sum(s.count(" ") + 1 for s in lines)
+    return {
+        "charmatrix": cap * 2.0,
+        "contains": cap * 1.0,
+        "replace": cap * 2.0,
+        "split": cap * 2.0 + 8.0 * ntok,
+        "categorize": 2.0 * n * min(64, max(len(s.encode()) for s in lines)),
+        "spans_safe": cap * 1.0,
+        "spans_ambig": cap * 1.0,
+        "pipeline": cap * 6.0 + 8.0 * ntok,
+    }[which]
+
+
+def _tier(lines, K_pipe: int, K_ops: int, ops=None):
+    """Per-tier measurement: resident pipeline + per-op ms/GBps/roofline."""
+    from benchmarks.resident import measure, measure_ops
+
+    res = measure(lines, K=K_pipe)
+    per_op = measure_ops(lines, K=K_ops, ops=ops)
+    ops_out = {}
+    for which, sec in per_op.items():
+        gbps = _op_bytes(lines, which) / sec / 1e9
+        ops_out[which] = {
+            "ms": round(sec * 1e3, 3),
+            "GBps": round(gbps, 2),
+            "roofline_pct": round(100.0 * gbps / HBM_GBPS, 2),
+        }
+    gb_pipe = _op_bytes(lines, "pipeline") / res["sec_per_iter"] / 1e9
+    return res, {
+        "rows": len(lines),
+        "pipeline_ms": round(res["sec_per_iter"] * 1e3, 3),
+        "pipeline_GBps": round(gb_pipe, 2),
+        "pipeline_roofline_pct": round(100.0 * gb_pipe / HBM_GBPS, 2),
+        "per_op": ops_out,
+    }
+
+
 def main():
     # default kept at 16384 so repeated runs hit the remote-compile cache
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
@@ -100,11 +166,31 @@ def main():
     # (optimization_barrier'd fori_loop, two scalars leave the device) and
     # reports (t_K - t_1)/(K-1) — the chip's own execution time, the
     # number a directly-attached deployment would see.
-    from benchmarks.resident import measure
-
-    res = measure(lines, K=24)
+    res, tier16 = _tier(lines, K_pipe=24, K_ops=16)
     dt_pd = bench_pandas(lines)
     dt_e2e = bench_tpu(lines)
+
+    # Round-3: a 1M-row (~200 MB) tier — byte-bound behaviour at a size
+    # where fixed per-kernel overheads are amortized (VERDICT r2 item 2).
+    tier1m = None
+    vs_pd_1m = None
+    if os.environ.get("CUSTRINGS_BENCH_1M", "1") != "0":
+        try:
+            lines1m = load_corpus(1 << 20)
+            # spans engines are benched at 16k only (item-3 criterion);
+            # the 1M tier focuses on the byte-bound pipeline ops
+            _res1m, tier1m = _tier(
+                lines1m, K_pipe=4, K_ops=3,
+                ops=["charmatrix", "contains", "replace", "split",
+                     "categorize"],
+            )
+            vs_pd_1m = round(
+                bench_pandas(lines1m, iters=1) / _res1m["sec_per_iter"], 3
+            )
+            tier1m["vs_baseline"] = vs_pd_1m
+        except Exception as e:  # 1M tier must not kill the headline
+            tier1m = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(
         json.dumps(
             {
@@ -114,7 +200,9 @@ def main():
                 "vs_baseline": round(dt_pd / res["sec_per_iter"], 3),
                 "e2e_relay_strings_per_sec": round(ops * len(lines) / dt_e2e, 1),
                 "e2e_relay_vs_baseline": round(dt_pd / dt_e2e, 3),
-                "note": "vs_baseline = pandas Series.str wall time / device-resident time; e2e_* includes the axon relay transport (~13 MB/s tunnel, BASELINE.md)",
+                "tier_16k": tier16,
+                "tier_1m": tier1m,
+                "note": "vs_baseline = pandas Series.str wall time / device-resident time; per-op GBps = logical bytes (bench._op_bytes) / resident time; roofline_pct vs 819 GB/s v5e HBM; e2e_* includes the axon relay transport (~13 MB/s tunnel, BASELINE.md)",
             }
         )
     )
