@@ -358,12 +358,16 @@ def _delim_split(
         raise ValueError("empty delimiter")
     from ..column import BOUND_SYNC_THRESHOLD
 
-    # each delimiter occurrence consumes m bytes: tokens <= bytes/m + rows
+    # each delimiter occurrence consumes m bytes: tokens <= bytes/m + rows.
+    # The routing writer's transient peak is ~16 bytes per input byte and
+    # ~12 per token slot, so the fused path is safe whenever both domains
+    # stay under the sync threshold (the old *8 factor priced the
+    # starts/ends extent arrays of the scatter writer).
     m = len(delim.encode("utf-8"))
     tok_bound = col.capacity // m + col.size
     if (
         col.size
-        and tok_bound * 8 <= BOUND_SYNC_THRESHOLD
+        and tok_bound <= BOUND_SYNC_THRESHOLD
         and col.capacity <= BOUND_SYNC_THRESHOLD
     ):
         tcap = bucket_bytes(tok_bound)

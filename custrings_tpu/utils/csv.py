@@ -13,9 +13,12 @@ from __future__ import annotations
 
 from ..column import StringColumn, from_host_strings
 
-CSV_NULL_IS_EMPTY = 1  # util.h flags
-CSV_SORT_LENGTH = 2
-CSV_SORT_NAME = 4
+# util.h:27-29 flag values (round-3 fix: these previously used made-up
+# values; the reference's are SORT_LENGTH=1, SORT_NAME=2, NULL_IS_EMPTY=8,
+# and sorttype = flags & 3 passes straight through, util.cu:164)
+CSV_SORT_LENGTH = 1
+CSV_SORT_NAME = 2
+CSV_NULL_IS_EMPTY = 8
 
 
 def _split_line(line: str) -> list[str]:
@@ -68,8 +71,5 @@ def read_column(path: str, column: int, lines: int = 0, flags: int = 0) -> Strin
     if flags & (CSV_SORT_LENGTH | CSV_SORT_NAME):
         from ..ops import array
 
-        stype = (1 if flags & CSV_SORT_LENGTH else 0) | (
-            2 if flags & CSV_SORT_NAME else 0
-        )
-        col = array.sort(col, stype)
+        col = array.sort(col, flags & (CSV_SORT_LENGTH | CSV_SORT_NAME))
     return col
