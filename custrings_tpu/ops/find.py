@@ -22,7 +22,7 @@ import numpy as np
 from ..column import StringColumn
 from . import layout
 
-_BIG = jnp.int32(2**30)
+_BIG = np.int32(2**30)  # np: a module-level jnp constant would init the backend at import
 
 
 from functools import lru_cache

@@ -29,8 +29,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.int32(1 << 30)
+_INF = np.int32(1 << 30)  # np: a module-level jnp constant would init the backend at import
 
 
 def _nbits(n: int) -> int:

@@ -14,11 +14,12 @@ import jax.numpy as jnp
 from functools import partial
 
 import jax
+import numpy as np
 
 from ..column import StringColumn, build_column
 from . import layout, substr
 
-_BIG = jnp.int32(2**30)
+_BIG = np.int32(2**30)  # np: a module-level jnp constant would init the backend at import
 
 
 def _member_mask(col: StringColumn, to_strip: str | None):

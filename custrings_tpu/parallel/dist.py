@@ -135,7 +135,7 @@ def _sort_unique_ranks(words, lens, valid, row_alive):
     return values, uniq_words, uniq_lens, uniq_valid, uniq_alive
 
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+_SENTINEL = np.uint32(0xFFFFFFFF)  # np: module-level jnp would init the backend at import
 
 
 def _encode_local(data, offsets, validity, row_alive, width: int):
