@@ -16,24 +16,26 @@ import numpy as np
 
 # Persistent XLA compile cache: remote (tunneled) TPU compiles run tens of
 # seconds each; caching them on disk makes repeat bench runs start warm.
-# The dir is salted by the git commit: round-3 measurement found a shared
-# cache can serve a STALE/colliding executable across code versions
-# (probe runs read absurd ~0 ms timings until the cache was dropped).
+# The dir is salted by a hash of the compute-path sources: round-3
+# measurement found a shared cache can serve a STALE/colliding executable
+# across code versions (probe runs read absurd ~0 ms timings until the
+# cache was dropped).  Content (not commit) salting keeps the cache warm
+# across doc/test-only commits.
 def _cache_dir():
-    import subprocess
+    import hashlib
 
-    try:
-        sha = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, cwd=os.path.dirname(
-                os.path.abspath(__file__)
-            ),
-        ).stdout.strip() or "nogit"
-    except Exception:
-        sha = "nogit"
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache", sha
-    )
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for base in ("custrings_tpu", "benchmarks"):
+        for dirpath, dirnames, filenames in sorted(os.walk(
+            os.path.join(root, base)
+        )):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        h.update(f.read())
+    return os.path.join(root, ".jax_cache", h.hexdigest()[:16])
 
 
 _CACHE = _cache_dir()

@@ -107,7 +107,9 @@ def _kernel_factory(U, I, PI, W32, anchored):
                         closure_ref[u * PI : (u + 1) * PI, :],
                         preferred_element_type=jnp.float32,
                     )
-                    closed = jnp.where((uid == u)[:, None], cu, closed)
+                    # minor-dim insert on the int32 uid, not the i1 compare
+                    # (Mosaic: 1-bit reshape to [T,1] is unsupported)
+                    closed = jnp.where(uid[:, None] == u, cu, closed)
             closed = jnp.minimum(closed, 1.0)
             matched = jnp.maximum(
                 matched,

@@ -148,12 +148,15 @@ def test_category(col, corpus):
     from custrings_tpu import column
 
     k = column.to_host_strings(keys)
-    assert k == sorted(set(s for s in corpus if s is not None))
+    # reference semantics: null IS a key and sorts first
+    # (NVCategory.cu:253 "null < non-null"; tests/test_category.py:140)
+    exp = sorted(set(s for s in corpus if s is not None))
+    if any(s is None for s in corpus):
+        exp = [None] + exp
+    assert k == exp
     v = _get(values)
-    host = [s for s in corpus]
-    for i, s in enumerate(host):
-        if s is not None:
-            assert k[v[i]] == s
+    for i, s in enumerate(corpus):
+        assert k[v[i]] == s
 
 
 def test_nvtext_distance(col, corpus):
