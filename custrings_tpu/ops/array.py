@@ -158,6 +158,12 @@ def order(
     return _order_impl(col, width, int(stype), bool(asc), bool(nullfirst))
 
 
+#: above this (rows, key-columns) size the variadic lexicographic sort is
+#: replaced by scan-LSD: the TPU compiler's cost for an 18-key comparator
+#: at 1M rows killed the remote compile helper outright (round 3)
+_LSD_ROWS = 1 << 17
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _order_impl(col, width, stype, asc, nullfirst):
     n = col.size
@@ -176,6 +182,18 @@ def _order_impl(col, width, stype, asc, nullfirst):
             keys.append(w if asc else inv ^ w)
         keys.append(lk if asc else inv - lk)
     rows = jnp.arange(n, dtype=jnp.int32)
+    if n >= _LSD_ROWS and len(keys) > 6:
+        # LSD radix over key columns: P passes of a stable SINGLE-key
+        # sort (least-significant column first), compiled once via scan.
+        # Equivalent to the variadic sort for any key count, and the
+        # comparator stays trivial no matter how wide the prefix is.
+        stacked = jnp.stack(keys[::-1])  # [P, n], least significant first
+        def body(perm, krow):
+            g = krow[perm]
+            _, idx = jax.lax.sort((g, rows), num_keys=1, is_stable=True)
+            return perm[idx], None
+        perm, _ = jax.lax.scan(body, rows, stacked)
+        return perm
     out = jax.lax.sort(tuple(keys) + (rows,), num_keys=len(keys))
     return out[-1]
 

@@ -52,19 +52,27 @@ def _encode_sorted(col: StringColumn, width: int, full_width: int):
             tied = words_eq & overflow & ~both_null
             tail_w = full_width - width
             starts_s = col.offsets[:-1][ord_]
-            k = jnp.arange(tail_w, dtype=jnp.int32)[None, :]
             cap = col.data.shape[0]
+            # compare tails in 64-byte blocks (a single [n, tail_w] index
+            # matrix is ~2 GB at 1M rows x 500-byte tails — round-3 OOM)
+            BLK = min(64, tail_w)
+            k = jnp.arange(BLK, dtype=jnp.int32)[None, :]
 
-            def tail(i0):  # bytes past the prefix for sorted rows i0..
-                idx = jnp.minimum(
-                    starts_s[i0][:, None] + width + k, cap - 1
-                )
-                live = k < (slen[i0] - width)[:, None]
+            def tail(i0, base):  # bytes [base, base+BLK) of sorted rows
+                idx = jnp.minimum(starts_s[i0][:, None] + base + k, cap - 1)
+                live = (base + k) < slen[i0][:, None]
                 return jnp.where(live, col.data[idx], jnp.uint8(0)), live
 
-            a, la = tail(slice(0, n - 1))
-            b, lb = tail(slice(1, n))
-            diff = jnp.any((a != b) & la & lb, axis=1)
+            def block(c, diff):
+                base = width + c * BLK
+                a, la = tail(slice(0, n - 1), base)
+                b, lb = tail(slice(1, n), base)
+                return diff | jnp.any((a != b) & la & lb, axis=1)
+
+            diff = jax.lax.fori_loop(
+                0, -(-tail_w // BLK), block,
+                jnp.zeros(n - 1, jnp.bool_),
+            )
             ambiguous = jnp.any(tied & diff)
     ranks = jnp.cumsum(neq.astype(jnp.int32))
     values = jnp.zeros(n, jnp.int32).at[ord_].set(ranks)
