@@ -127,17 +127,64 @@ def remove_strings(col: StringColumn, indexes) -> StringColumn:
 # ---------------------------------------------------------------------------
 
 
+def _mask_word_tails(be: jax.Array, lens: jax.Array, width: int) -> jax.Array:
+    """Zero the bytes of big-endian words past each row's length.
+
+    Word k of a row covers bytes [4k, 4k+4); `valid` of them are real.
+    The mask keeps the leading (high) `valid` bytes.  Arithmetic only —
+    a 5-entry table gather would run at capacity-gather speed at 1M rows.
+    """
+    full = jnp.uint32(0xFFFFFFFF)
+    k4 = jnp.arange(be.shape[1], dtype=jnp.int32)[None, :] * 4
+    valid = jnp.clip(lens[:, None] - k4, 0, 4)
+    # shift clamped to 24 so the <<32 lane (valid==0) is never selected
+    inner = full << jnp.minimum((4 - valid) * 8, 24).astype(jnp.uint32)
+    mask = jnp.where(valid == 0, jnp.uint32(0), jnp.where(valid >= 4, full, inner))
+    return be & mask
+
+
 @partial(jax.jit, static_argnums=(1,))
+def _key_words_pallas(col: StringColumn, width: int) -> jax.Array:
+    from .pallas_window import ragged_gather_words
+
+    w_le = ragged_gather_words(col.data, col.offsets[:-1], width)
+    u = jax.lax.bitcast_convert_type(w_le, jnp.uint32)
+    be = (
+        ((u & 0xFF) << 24)
+        | ((u & 0xFF00) << 8)
+        | ((u >> 8) & 0xFF00)
+        | (u >> 24)
+    )
+    return _mask_word_tails(be, col.lengths(), width)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _key_words_xla(col: StringColumn, width: int) -> jax.Array:
+    view = layout.padded_view(col, width).astype(jnp.uint32)
+    return (
+        (view[:, 0::4] << 24)
+        | (view[:, 1::4] << 16)
+        | (view[:, 2::4] << 8)
+        | view[:, 3::4]
+    )
+
+
 def _key_words(col: StringColumn, width: int) -> jax.Array:
     """uint32[rows, width//4] big-endian packed bytes; 0-padded.
 
     Byte-wise unsigned comparison of 0-padded rows == custring_view::compare
     (shorter prefix sorts first), except embedded NULs, which the length
     tie-break key resolves.
+
+    Words-native on TPU: `ragged_gather_words` + LE->BE byteswap + tail
+    masking, never materializing the byte matrix (whose [n, W//4, 4]
+    repack tiles the 4-wide lane dim to 128 — a 32x blowup that OOMed the
+    1M-row tier in round 3).  The XLA fallback packs the padded byte view
+    with strided lane slices for the same reason.
     """
-    view = layout.padded_view(col, width).astype(jnp.uint32)
-    w4 = view.reshape(col.size, -1, 4)
-    return (w4[..., 0] << 24) | (w4[..., 1] << 16) | (w4[..., 2] << 8) | w4[..., 3]
+    if layout._use_pallas_window():
+        return _key_words_pallas(col, width)
+    return _key_words_xla(col, width)
 
 
 def order(

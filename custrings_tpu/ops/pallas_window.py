@@ -87,6 +87,28 @@ def _window_kernel(starts_ref, data32_ref, out_ref, *scratches_and_sems):
     out_ref[:] = jnp.concatenate(rows, axis=0)
 
 
+#: rows per pallas_call: the scalar-prefetched starts live in SMEM (1 MB
+#: on v5e) and 1M-row columns overflowed it (round 3: "prefetched SMEM
+#: operand 0" compile failure at u8[4M]).  64K rows = 256 KB of int32
+#: starts per call; larger columns issue several calls back to back.
+_SMEM_ROWS = 1 << 16
+
+
+def _bytes_to_words_le(data: jax.Array) -> jax.Array:
+    """u8[4M] -> int32[M] little-endian words WITHOUT the [M, 4] reshape.
+
+    `bitcast_convert_type(data.reshape(-1, 4), i32)` materializes a
+    u32[M, 4] intermediate whose 4-wide lane dim pads to 128 in the TPU
+    tiled layout — a 32x memory blowup that OOMs HBM at 1M-row columns
+    (round 3).  Four strided 1-D slices + shift/or stay 1-D throughout.
+    """
+    d0 = data[0::4].astype(jnp.uint32)
+    d1 = data[1::4].astype(jnp.uint32)
+    d2 = data[2::4].astype(jnp.uint32)
+    d3 = data[3::4].astype(jnp.uint32)
+    return (d0 | (d1 << 8) | (d2 << 16) | (d3 << 24)).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _ragged_gather_p(data, starts, W: int, interpret: bool):
     from jax.experimental import pallas as pl
@@ -95,34 +117,76 @@ def _ragged_gather_p(data, starts, W: int, interpret: bool):
     n = starts.shape[0]
     # window + alignment slack, rounded to a whole number of align tiles
     chunk = -(-(W + ALIGN) // ALIGN) * ALIGN
-    # bitcast the (padded) byte buffer to little-endian int32 words
+    # the (padded) byte buffer as little-endian int32 words
     cap4 = -(-(data.shape[0] + chunk) // ALIGN) * ALIGN
     data = jnp.pad(data, (0, cap4 - data.shape[0]))
-    data32 = jax.lax.bitcast_convert_type(
-        data.reshape(-1, 4), jnp.int32
-    )
+    data32 = _bytes_to_words_le(data)
     pad = (-n) % ROW_BLK
     nP = n + pad
     starts = jnp.pad(starts, (0, pad))
     starts = jnp.clip(starts, 0, max(cap4 - chunk, 0)).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nP // ROW_BLK,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((ROW_BLK, W // 4), lambda i, s: (i, 0)),
-        scratch_shapes=(
-            [pltpu.VMEM((chunk // 4,), jnp.int32) for _ in range(ROW_BLK)]
-            + [pltpu.SemaphoreType.DMA((ROW_BLK,))]
-        ),
-    )
-    out = pl.pallas_call(
-        _window_kernel,
-        out_shape=jax.ShapeDtypeStruct((nP, W // 4), jnp.int32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(starts, data32)
-    return out[:n]
+    def call(starts_c):
+        nC = starts_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nC // ROW_BLK,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((ROW_BLK, W // 4), lambda i, s: (i, 0)),
+            scratch_shapes=(
+                [pltpu.VMEM((chunk // 4,), jnp.int32) for _ in range(ROW_BLK)]
+                + [pltpu.SemaphoreType.DMA((ROW_BLK,))]
+            ),
+        )
+        return pl.pallas_call(
+            _window_kernel,
+            out_shape=jax.ShapeDtypeStruct((nC, W // 4), jnp.int32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(starts_c, data32)
+
+    if nP <= _SMEM_ROWS:
+        return call(starts)[:n]
+    pieces = [
+        call(starts[i : i + _SMEM_ROWS])
+        for i in range(0, nP, _SMEM_ROWS)
+    ]
+    return jnp.concatenate(pieces, axis=0)[:n]
+
+
+def _words_to_bytes(out32: jax.Array, W: int) -> jax.Array:
+    """int32[n, W//4] LE words -> uint8[n, W], no [n, W//4, 4] tensor.
+
+    `bitcast_convert_type(out32, u8).reshape(n, W)` goes through a
+    u8[n, W//4, 4] intermediate whose 4-lane minor dim tiles to 128 lanes
+    (32x blowup, 16 GB at 1M rows) — same failure family as
+    `_bytes_to_words_le`.  The lane-repeat + per-lane shift keeps every
+    tensor at [n, W]; the repeat is a broadcast XLA fuses into the shift.
+    """
+    reps = jnp.repeat(out32, 4, axis=1)  # [n, W]
+    sh = (jnp.arange(W, dtype=jnp.int32) % 4) * 8
+    return (
+        jax.lax.shift_right_logical(reps, sh[None, :]) & 0xFF
+    ).astype(jnp.uint8)
+
+
+def ragged_gather_words(
+    data: jax.Array, starts: jax.Array, width: int
+) -> jax.Array:
+    """int32[rows, ceil(width/4)] little-endian words of
+    data[starts[r] : starts[r]+width] per row (width <= gathered window).
+
+    The words-native variant of `ragged_gather` for consumers that repack
+    bytes into words anyway (sort keys, hashes): no byte-matrix roundtrip,
+    so none of the [n, *, 4] layout blowups.  No masking — callers mask
+    word tails past each row's length themselves."""
+    if starts.shape[0] == 0:
+        return jnp.zeros((0, -(-width // 4)), jnp.int32)
+    W = max(-(-width // 512) * 512, 512)
+    starts = starts.astype(jnp.int32)
+    with jax.enable_x64(False):
+        out32 = _ragged_gather_p(data, starts, W, use_interpret_mode())
+    return out32[:, : -(-width // 4)]
 
 
 def ragged_gather(data: jax.Array, starts: jax.Array, width: int) -> jax.Array:
@@ -142,6 +206,4 @@ def ragged_gather(data: jax.Array, starts: jax.Array, width: int) -> jax.Array:
     starts = starts.astype(jnp.int32)
     with jax.enable_x64(False):
         out32 = _ragged_gather_p(data, starts, W, use_interpret_mode())
-    n = out32.shape[0]
-    out8 = jax.lax.bitcast_convert_type(out32, jnp.uint8).reshape(n, W)
-    return out8[:, :width]
+    return _words_to_bytes(out32, W)[:, :width]

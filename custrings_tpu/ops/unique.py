@@ -53,26 +53,51 @@ def _encode_sorted(col: StringColumn, width: int, full_width: int):
             tail_w = full_width - width
             starts_s = col.offsets[:-1][ord_]
             cap = col.data.shape[0]
-            # compare tails in 64-byte blocks (a single [n, tail_w] index
-            # matrix is ~2 GB at 1M rows x 500-byte tails — round-3 OOM)
-            BLK = min(64, tail_w)
-            k = jnp.arange(BLK, dtype=jnp.int32)[None, :]
+            if layout._use_pallas_window():
+                # words-native tail compare: one ragged window DMA past
+                # the prefix; bytes live in BOTH rows compared via a
+                # joint little-endian mask (capacity-sized XLA gathers
+                # run at ~120M elem/s — seconds at 1M rows)
+                from .pallas_window import ragged_gather_words
 
-            def tail(i0, base):  # bytes [base, base+BLK) of sorted rows
-                idx = jnp.minimum(starts_s[i0][:, None] + base + k, cap - 1)
-                live = (base + k) < slen[i0][:, None]
-                return jnp.where(live, col.data[idx], jnp.uint8(0)), live
+                tw = -(-tail_w // 4) * 4
+                tails = ragged_gather_words(col.data, starts_s + width, tw)
+                rem = jnp.maximum(slen - width, 0)
+                full = jnp.uint32(0xFFFFFFFF)
+                k4 = jnp.arange(tw // 4, dtype=jnp.int32)[None, :] * 4
+                valid = jnp.clip(rem[:, None] - k4, 0, 4)  # [n, tw//4]
+                inner = (
+                    jnp.uint32(1) << (valid * 8).astype(jnp.uint32)
+                ) - jnp.uint32(1)  # valid<=3 -> shift<=24 (defined)
+                m = jnp.where(valid >= 4, full, inner)
+                tu = jax.lax.bitcast_convert_type(tails, jnp.uint32)
+                mj = m[1:] & m[:-1]
+                diff = jnp.any(
+                    (tu[1:] & mj) != (tu[:-1] & mj), axis=1
+                )
+            else:
+                # compare tails in 64-byte blocks (a single [n, tail_w]
+                # index matrix is ~2 GB at 1M rows x 500-byte tails)
+                BLK = min(64, tail_w)
+                k = jnp.arange(BLK, dtype=jnp.int32)[None, :]
 
-            def block(c, diff):
-                base = width + c * BLK
-                a, la = tail(slice(0, n - 1), base)
-                b, lb = tail(slice(1, n), base)
-                return diff | jnp.any((a != b) & la & lb, axis=1)
+                def tail(i0, base):  # bytes [base, base+BLK) per row
+                    idx = jnp.minimum(
+                        starts_s[i0][:, None] + base + k, cap - 1
+                    )
+                    live = (base + k) < slen[i0][:, None]
+                    return jnp.where(live, col.data[idx], jnp.uint8(0)), live
 
-            diff = jax.lax.fori_loop(
-                0, -(-tail_w // BLK), block,
-                jnp.zeros(n - 1, jnp.bool_),
-            )
+                def block(c, diff):
+                    base = width + c * BLK
+                    a, la = tail(slice(0, n - 1), base)
+                    b, lb = tail(slice(1, n), base)
+                    return diff | jnp.any((a != b) & la & lb, axis=1)
+
+                diff = jax.lax.fori_loop(
+                    0, -(-tail_w // BLK), block,
+                    jnp.zeros(n - 1, jnp.bool_),
+                )
             ambiguous = jnp.any(tied & diff)
     ranks = jnp.cumsum(neq.astype(jnp.int32))
     values = jnp.zeros(n, jnp.int32).at[ord_].set(ranks)

@@ -38,6 +38,23 @@ def test_ragged_gather_matches_windows():
     assert (out == ref).all()
 
 
+def test_ragged_gather_row_chunking(monkeypatch):
+    """Columns past the SMEM starts budget split into several pallas
+    calls (round 3: 1M-row starts overflowed the 1 MB SMEM).  Shrink the
+    threshold so the chunked path runs at interpret-mode-friendly size."""
+    from custrings_tpu.ops import pallas_window as pw
+
+    monkeypatch.setattr(pw, "_SMEM_ROWS", 16)
+    rng = np.random.default_rng(8)
+    data = jnp.asarray(rng.integers(0, 256, 5000, dtype=np.uint8))
+    # 50 rows -> padded to 56 -> chunks of 16 + a 8-row tail
+    starts = jnp.asarray(np.sort(rng.integers(0, 5000, 50)).astype(np.int32))
+    out = np.asarray(ragged_gather(data, starts, 64))
+    dp = np.concatenate([np.asarray(data), np.zeros(8192, np.uint8)])
+    ref = np.stack([dp[s : s + 64] for s in np.asarray(starts)])
+    assert (out == ref).all()
+
+
 def test_padded_view_pallas_parity(monkeypatch):
     monkeypatch.setenv("CUSTRINGS_PALLAS_WINDOW", "1")
     col = colmod.from_host_strings(STRINGS)
