@@ -134,24 +134,33 @@ def _tier(lines, K_pipe: int, K_ops: int, ops=None):
     """Per-tier measurement: resident pipeline + per-op ms/GBps/roofline."""
     from benchmarks.resident import measure, measure_ops
 
-    res = measure(lines, K=K_pipe)
-    per_op = measure_ops(lines, K=K_ops, ops=ops)
+    per_op = measure_ops(lines, K=K_ops, ops=ops)  # per-op first: each is
+    # individually fault-isolated, so a pipeline-program failure can't
+    # cost the per-op evidence
     ops_out = {}
     for which, sec in per_op.items():
+        if isinstance(sec, Exception):  # per-op failure recorded, not fatal
+            ops_out[which] = {"error": f"{type(sec).__name__}: {sec}"[:200]}
+            continue
         gbps = _op_bytes(lines, which) / sec / 1e9
         ops_out[which] = {
             "ms": round(sec * 1e3, 3),
             "GBps": round(gbps, 2),
             "roofline_pct": round(100.0 * gbps / HBM_GBPS, 2),
         }
+    tier = {"rows": len(lines), "per_op": ops_out}
+    try:
+        res = measure(lines, K=K_pipe)
+    except Exception as e:
+        tier["pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
+        return None, tier
     gb_pipe = _op_bytes(lines, "pipeline") / res["sec_per_iter"] / 1e9
-    return res, {
-        "rows": len(lines),
-        "pipeline_ms": round(res["sec_per_iter"] * 1e3, 3),
-        "pipeline_GBps": round(gb_pipe, 2),
-        "pipeline_roofline_pct": round(100.0 * gb_pipe / HBM_GBPS, 2),
-        "per_op": ops_out,
-    }
+    tier.update(
+        pipeline_ms=round(res["sec_per_iter"] * 1e3, 3),
+        pipeline_GBps=round(gb_pipe, 2),
+        pipeline_roofline_pct=round(100.0 * gb_pipe / HBM_GBPS, 2),
+    )
+    return res, tier
 
 
 def main():
@@ -169,6 +178,8 @@ def main():
     # reports (t_K - t_1)/(K-1) — the chip's own execution time, the
     # number a directly-attached deployment would see.
     res, tier16 = _tier(lines, K_pipe=24, K_ops=16)
+    if res is None:  # the 16k pipeline IS the headline: fail loudly
+        raise RuntimeError(tier16.get("pipeline_error", "16k tier failed"))
     dt_pd = bench_pandas(lines)
     dt_e2e = bench_tpu(lines)
 
@@ -186,10 +197,12 @@ def main():
                 ops=["charmatrix", "contains", "replace", "split",
                      "categorize"],
             )
-            vs_pd_1m = round(
-                bench_pandas(lines1m, iters=1) / _res1m["sec_per_iter"], 3
-            )
-            tier1m["vs_baseline"] = vs_pd_1m
+            if _res1m is not None:
+                vs_pd_1m = round(
+                    bench_pandas(lines1m, iters=1) / _res1m["sec_per_iter"],
+                    3,
+                )
+                tier1m["vs_baseline"] = vs_pd_1m
         except Exception as e:  # 1M tier must not kill the headline
             tier1m = {"error": f"{type(e).__name__}: {e}"[:200]}
 

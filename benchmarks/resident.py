@@ -243,18 +243,23 @@ def measure_ops(lines, K: int = 16, ops=None):
         "charmatrix", "contains", "replace", "split", "categorize",
         "spans_safe", "spans_ambig",
     ]:
-        loop, args = build_op_loop(col, which)
-        jax.block_until_ready(loop(*args, 1))
-        jax.block_until_ready(loop(*args, K))
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(*args, 1))
-        t1 = time.perf_counter()
-        t2 = time.perf_counter()
-        jax.block_until_ready(loop(*args, K))
-        t3 = time.perf_counter()
-        per = max(((t3 - t2) - (t1 - t0)) / (K - 1), 1e-9)
-        out[which] = per
-        print(f"[op {which}] {per*1e3:.2f} ms/iter", file=sys.stderr, flush=True)
+        try:
+            loop, args = build_op_loop(col, which)
+            jax.block_until_ready(loop(*args, 1))
+            jax.block_until_ready(loop(*args, K))
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(*args, 1))
+            t1 = time.perf_counter()
+            t2 = time.perf_counter()
+            jax.block_until_ready(loop(*args, K))
+            t3 = time.perf_counter()
+            per = max(((t3 - t2) - (t1 - t0)) / (K - 1), 1e-9)
+            out[which] = per
+            print(f"[op {which}] {per*1e3:.2f} ms/iter", file=sys.stderr, flush=True)
+        except Exception as e:  # one op's compile failure must not kill the tier
+            out[which] = e
+            print(f"[op {which}] FAIL {type(e).__name__}: {str(e)[:160]}",
+                  file=sys.stderr, flush=True)
     return out
 
 
