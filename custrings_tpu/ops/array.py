@@ -127,7 +127,7 @@ def remove_strings(col: StringColumn, indexes) -> StringColumn:
 # ---------------------------------------------------------------------------
 
 
-def _mask_word_tails(be: jax.Array, lens: jax.Array, width: int) -> jax.Array:
+def _mask_word_tails(be: jax.Array, lens: jax.Array) -> jax.Array:
     """Zero the bytes of big-endian words past each row's length.
 
     Word k of a row covers bytes [4k, 4k+4); `valid` of them are real.
@@ -147,15 +147,10 @@ def _mask_word_tails(be: jax.Array, lens: jax.Array, width: int) -> jax.Array:
 def _key_words_pallas(col: StringColumn, width: int) -> jax.Array:
     from .pallas_window import ragged_gather_words
 
-    w_le = ragged_gather_words(col.data, col.offsets[:-1], width)
-    u = jax.lax.bitcast_convert_type(w_le, jnp.uint32)
-    be = (
-        ((u & 0xFF) << 24)
-        | ((u & 0xFF00) << 8)
-        | ((u >> 8) & 0xFF00)
-        | (u >> 24)
+    be = jax.lax.bitcast_convert_type(
+        ragged_gather_words(col.data, col.offsets[:-1], width), jnp.uint32
     )
-    return _mask_word_tails(be, col.lengths(), width)
+    return _mask_word_tails(be, col.lengths())
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -176,11 +171,12 @@ def _key_words(col: StringColumn, width: int) -> jax.Array:
     (shorter prefix sorts first), except embedded NULs, which the length
     tie-break key resolves.
 
-    Words-native on TPU: `ragged_gather_words` + LE->BE byteswap + tail
-    masking, never materializing the byte matrix (whose [n, W//4, 4]
-    repack tiles the 4-wide lane dim to 128 — a 32x blowup that OOMed the
-    1M-row tier in round 3).  The XLA fallback packs the padded byte view
-    with strided lane slices for the same reason.
+    Words-native on TPU: `ragged_gather_words` packs big-endian words on
+    the MXU inside the window kernel + tail masking here, never
+    materializing the byte matrix (whose [n, W//4, 4] repack tiles the
+    4-wide lane dim to 128 — a 32x blowup that OOMed the 1M-row tier in
+    round 3).  The XLA fallback packs the padded byte view with strided
+    lane slices for the same reason.
     """
     if layout._use_pallas_window():
         return _key_words_pallas(col, width)

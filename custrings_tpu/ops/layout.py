@@ -498,8 +498,13 @@ def _char_matrix_hybrid(data, offsets, lens, na_rows, width: int):
 
     This keeps the whole charmatrix path on the Pallas window kernel +
     elementwise work: 74 ms -> ~6 ms at 16k rows x 256 B on v5e."""
-    P = _padded_view_pallas(data, offsets, width)
-    mat = P.astype(jnp.int32)
+    from .pallas_window import ragged_gather_i32
+
+    # the kernel's native int32-byte-lane output IS the ASCII char matrix
+    kk = jnp.arange(width, dtype=jnp.int32)[None, :]
+    mat = jnp.where(
+        kk < lens[:, None], ragged_gather_i32(data, offsets[:-1], width), 0
+    )
     nch = lens
     if na_rows.shape[0]:
         na_starts = offsets[:-1][na_rows]

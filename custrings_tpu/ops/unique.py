@@ -56,24 +56,24 @@ def _encode_sorted(col: StringColumn, width: int, full_width: int):
             if layout._use_pallas_window():
                 # words-native tail compare: one ragged window DMA past
                 # the prefix; bytes live in BOTH rows compared via a
-                # joint little-endian mask (capacity-sized XLA gathers
+                # joint big-endian tail mask (capacity-sized XLA gathers
                 # run at ~120M elem/s — seconds at 1M rows)
+                from .array import _mask_word_tails
                 from .pallas_window import ragged_gather_words
 
                 tw = -(-tail_w // 4) * 4
-                tails = ragged_gather_words(col.data, starts_s + width, tw)
+                tails = jax.lax.bitcast_convert_type(
+                    ragged_gather_words(col.data, starts_s + width, tw),
+                    jnp.uint32,
+                )
                 rem = jnp.maximum(slen - width, 0)
-                full = jnp.uint32(0xFFFFFFFF)
-                k4 = jnp.arange(tw // 4, dtype=jnp.int32)[None, :] * 4
-                valid = jnp.clip(rem[:, None] - k4, 0, 4)  # [n, tw//4]
-                inner = (
-                    jnp.uint32(1) << (valid * 8).astype(jnp.uint32)
-                ) - jnp.uint32(1)  # valid<=3 -> shift<=24 (defined)
-                m = jnp.where(valid >= 4, full, inner)
-                tu = jax.lax.bitcast_convert_type(tails, jnp.uint32)
+                # per-row mask of live tail bytes; a pair compares only
+                # bytes live in BOTH rows
+                ones = jnp.full_like(tails, jnp.uint32(0xFFFFFFFF))
+                m = _mask_word_tails(ones, rem)
                 mj = m[1:] & m[:-1]
                 diff = jnp.any(
-                    (tu[1:] & mj) != (tu[:-1] & mj), axis=1
+                    (tails[1:] & mj) != (tails[:-1] & mj), axis=1
                 )
             else:
                 # compare tails in 64-byte blocks (a single [n, tail_w]

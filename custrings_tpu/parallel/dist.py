@@ -69,23 +69,30 @@ def shard_column(col: StringColumn, n_shards: int):
 def _pack_words(data, offsets, width):
     """jit-pure packed big-endian uint32 key words [R, width//4]."""
     from ..ops import layout
+    from ..ops.array import _mask_word_tails
 
-    nrows = offsets.shape[0] - 1
     cap = data.shape[0]
-    lens = (offsets[1:] - offsets[:-1])[:, None]
-    k = jnp.arange(width, dtype=jnp.int32)[None, :]
+    lens = offsets[1:] - offsets[:-1]
     if layout._use_pallas_window():
-        from ..ops.pallas_window import ragged_gather
+        # the window kernel emits big-endian words directly (MXU pack);
+        # only the per-row tail masking happens here
+        from ..ops.pallas_window import ragged_gather_words
 
-        raw = ragged_gather(data, offsets[:-1], width)
-    else:
-        starts = offsets[:-1][:, None]
-        idx = jnp.minimum(starts + k, cap - 1)
-        raw = data[idx]
-    view = jnp.where(k < lens, raw, jnp.uint8(0)).astype(jnp.uint32)
-    w4 = view.reshape(nrows, -1, 4)
+        be = jax.lax.bitcast_convert_type(
+            ragged_gather_words(data, offsets[:-1], width), jnp.uint32
+        )
+        return _mask_word_tails(be, lens)
+    k = jnp.arange(width, dtype=jnp.int32)[None, :]
+    starts = offsets[:-1][:, None]
+    idx = jnp.minimum(starts + k, cap - 1)
+    view = jnp.where(
+        k < lens[:, None], data[idx], jnp.uint8(0)
+    ).astype(jnp.uint32)
     return (
-        (w4[..., 0] << 24) | (w4[..., 1] << 16) | (w4[..., 2] << 8) | w4[..., 3]
+        (view[:, 0::4] << 24)
+        | (view[:, 1::4] << 16)
+        | (view[:, 2::4] << 8)
+        | view[:, 3::4]
     )
 
 

@@ -23,14 +23,18 @@ from .device import DeviceProgram
 
 @lru_cache(maxsize=256)
 def get_program(pattern: str) -> DeviceProgram:
-    return DeviceProgram(compile_pattern(pattern))
+    # program tables must stay concrete even when the first use of a
+    # pattern happens inside a jit trace (closure_tensor runs jnp ops)
+    with jax.ensure_compile_time_eval():
+        return DeviceProgram(compile_pattern(pattern))
 
 
 @lru_cache(maxsize=256)
 def _get_pallas_nfa(pattern: str):
     from .pallas_nfa import PallasNFA
 
-    return PallasNFA(get_program(pattern))
+    with jax.ensure_compile_time_eval():
+        return PallasNFA(get_program(pattern))
 
 
 def _use_pallas_nfa(pattern: str) -> bool:

@@ -204,20 +204,59 @@ class PallasNFA:
                 A[c, w] += b
         self.memb_A = jnp.asarray(A)
         self.memb_B = jnp.asarray(B)
+        # Bit-parallel tables for programs whose state fits ONE uint32
+        # (the common case: `#\w+` is 7 insts).  The f32 matmul kernel
+        # pads every program to a 128x128 MXU tile — ~300x wasted FLOPs
+        # at I=7 — while a u32 state needs only I or-shift-mask rounds.
+        self.bits_ok = self.I <= 32
+        if self.bits_ok:
+            cub = cu > 0.5  # [U, I, I] reach-by-closure, source-major
+            self._crows = tuple(
+                tuple(
+                    sum(1 << j for j in range(self.I) if cub[u, i, j])
+                    for i in range(self.I)
+                )
+                for u in range(self.U)
+            )
+            nm = np.asarray(jax.device_get(dp.next_mat)) > 0.5
+            self._nrows = tuple(
+                sum(1 << j for j in range(self.I) if nm[i, j])
+                for i in range(self.I)
+            )
+            sv = np.asarray(jax.device_get(dp.start_vec)) > 0.5
+            self._start_bits = sum(1 << i for i in range(self.I) if sv[i])
+            ie = np.asarray(jax.device_get(dp.is_end)) > 0.5
+            self._end_bits = sum(1 << i for i in range(self.I) if ie[i])
+            self._char_pairs = tuple(
+                (i, int(prog.args[i]))
+                for i in range(self.I)
+                if prog.types[i] == CHAR
+            )
+            self._any_bits = sum(
+                1 << i for i in range(self.I) if prog.types[i] == ANY
+            )
+            self._anynl_bits = sum(
+                1 << i for i in range(self.I) if prog.types[i] == ANYNL
+            )
 
     @partial(jax.jit, static_argnums=(0, 3, 4))
     def matches(self, chars, lengths, anchored: bool, ascii: bool = False):
-        from jax.experimental import pallas as pl
+        import os
 
         N, L = chars.shape
         if N == 0:
             return jnp.zeros((0,), jnp.bool_)
-        T = ROW_TILE
-        pad = (-N) % T
-        if pad:
-            chars = jnp.pad(chars, ((0, pad), (0, 0)))
-            lengths = jnp.pad(lengths, (0, pad))
-        NP = N + pad
+        if self.bits_ok and os.environ.get(
+            "CUSTRINGS_PALLAS_NFA_BITS", "1"
+        ) != "0":
+            return self._matches_bits(chars, lengths, anchored, ascii)
+        return self._matches_f32(chars, lengths, anchored, ascii)
+
+    def _pos_tables(self, chars, lengths, ascii: bool):
+        """Per-(row, position) tables for T-padded inputs: membership
+        planes membw uint32[NP, L, W32] and closure-variant id
+        uid int32[NP, L+1] (positions include the EOS sentinel)."""
+        NP, L = chars.shape
         # precompute per-position per-inst class predicate, bit-packed into
         # W32 uint32 planes per position (Mosaic only rolls 32-bit data);
         # ascii=True swaps the 64K-table gathers for packed-bit LUT tests
@@ -263,6 +302,19 @@ class PallasNFA:
             + (al_cur != al_prev).astype(jnp.int32) * 16
         )
         uid = self.ctx_map[ctx].astype(jnp.int32)  # [NP, L+1]
+        return membw, uid
+
+    def _matches_f32(self, chars, lengths, anchored: bool, ascii: bool):
+        from jax.experimental import pallas as pl
+
+        N, L = chars.shape
+        T = ROW_TILE
+        pad = (-N) % T
+        if pad:
+            chars = jnp.pad(chars, ((0, pad), (0, 0)))
+            lengths = jnp.pad(lengths, (0, pad))
+        NP = N + pad
+        membw, uid = self._pos_tables(chars, lengths, ascii)
 
         PI, W32 = self.PI, self.W32
         kernel = _kernel_factory(self.U, self.I, PI, W32, anchored)
@@ -308,3 +360,131 @@ class PallasNFA:
             jnp.pad(self.args, (0, padI), constant_values=-1)[None, :],
         )
         return out.reshape(NP)[:N] > 0
+
+    def _matches_bits(self, chars, lengths, anchored: bool, ascii: bool):
+        """Bit-parallel matcher for I <= 32: state = one uint32 per row.
+
+        Same lockstep semantics as the f32 kernel, but the closure /
+        consume products become I rounds of shift-mask-or on a [1, T]
+        uint32 vector, and every program table bakes into the kernel as
+        a Python-int constant (no table DMAs, no 128-padded matmuls).
+        Reference analogue: the warp-per-string Relist bitmask walk in
+        cpp/src/regex/regexec.inl — this is its lane-per-string form.
+        """
+        from jax.experimental import pallas as pl
+
+        N, L = chars.shape
+        # VMEM budget: chars + memb + uid blocks are 4 bytes/position
+        # each.  T must be a POWER OF TWO: non-power-of-two lane counts
+        # (e.g. 768) fold to mixed sublane layouts that trip a Mosaic
+        # relayout error ("non-singleton dim replicated in destination").
+        T = 1024
+        while T > 256 and T * 12 * L > (4 << 20):
+            T //= 2
+        pad = (-N) % T
+        if pad:
+            chars = jnp.pad(chars, ((0, pad), (0, 0)))
+            lengths = jnp.pad(lengths, (0, pad))
+        NP = N + pad
+        membw, uid = self._pos_tables(chars, lengths, ascii)
+        kernel = _bit_kernel_factory(
+            self.U,
+            self.I,
+            anchored,
+            self._crows,
+            self._nrows,
+            self._start_bits,
+            self._end_bits,
+            self._char_pairs,
+            self._any_bits,
+            self._anynl_bits,
+        )
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int32),
+                grid=(NP // T,),
+                in_specs=[
+                    pl.BlockSpec((L, T), lambda i: (0, i)),
+                    pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
+                    pl.BlockSpec((L, T), lambda i: (0, i)),
+                    pl.BlockSpec((L + 1, T), lambda i: (0, i)),
+                ],
+                out_specs=pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
+                interpret=use_interpret_mode(),
+            )(
+                chars.astype(jnp.int32).T,
+                lengths.astype(jnp.int32).reshape(NP // T, T),
+                membw[:, :, 0].T,
+                uid.T,
+            )
+        return out.reshape(NP)[:N] > 0
+
+
+def _bit_kernel_factory(
+    U, I, anchored, crows, nrows, start_bits, end_bits,
+    char_pairs, any_bits, anynl_bits,
+):
+    """Kernel for `PallasNFA._matches_bits`; all tables are Python ints."""
+
+    def kernel(chars_ref, lens2_ref, memb_ref, uid_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        gi = pl.program_id(0)
+        L, T = chars_ref.shape
+        lens_v = lens2_ref[pl.ds(gi, 1), :]  # [1, T]
+        u32 = jnp.uint32
+
+        def step(p, carry):
+            state, matched = carry  # uint32[1, T] bitmask / 0-1 flag
+            pc = jnp.minimum(p, L - 1)
+            cur = jnp.where(p < lens_v, chars_ref[pl.ds(pc, 1), :], 0)
+            if anchored:
+                inj = (p == 0) & (matched == 0)
+            else:
+                inj = (matched == 0) & (p <= lens_v)
+            state = state | (u32(start_bits) * inj.astype(u32))
+            # eps-closure: source-major OR of per-inst reach rows, the
+            # row selected per lane by the closure-variant id
+            if U > 1:
+                uidv = uid_ref[pl.ds(p, 1), :]
+            closed = jnp.zeros_like(state)
+            for i in range(I):
+                m = u32(0) - ((state >> i) & u32(1))
+                if U == 1:
+                    closed = closed | (m & u32(crows[0][i]))
+                else:
+                    row = jnp.full_like(state, u32(crows[0][i]))
+                    for u in range(1, U):
+                        row = jnp.where(uidv == u, u32(crows[u][i]), row)
+                    closed = closed | (m & row)
+            matched = matched | (
+                (closed & u32(end_bits)) != 0
+            ).astype(u32)
+            # consume predicate bits: class planes + baked CHAR/ANY tests
+            pred = memb_ref[pl.ds(pc, 1), :]
+            for i, a in char_pairs:
+                pred = pred | ((cur == a).astype(u32) << i)
+            if any_bits:
+                pred = pred | (
+                    (u32(0) - ((cur != 10) & (cur != 0)).astype(u32))
+                    & u32(any_bits)
+                )
+            if anynl_bits:
+                pred = pred | (
+                    (u32(0) - (cur != 0).astype(u32)) & u32(anynl_bits)
+                )
+            pred = pred & (u32(0) - (cur != 0).astype(u32))
+            fire = closed & pred
+            nstate = jnp.zeros_like(state)
+            for i in range(I):
+                m = u32(0) - ((fire >> i) & u32(1))
+                nstate = nstate | (m & u32(nrows[i]))
+            return nstate, matched
+
+        state0 = jnp.zeros((1, T), jnp.uint32)
+        matched0 = jnp.zeros((1, T), jnp.uint32)
+        _, matched = jax.lax.fori_loop(0, L + 1, step, (state0, matched0))
+        out_ref[pl.ds(gi, 1), :] = matched.astype(jnp.int32)
+
+    return kernel

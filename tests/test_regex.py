@@ -274,6 +274,14 @@ def test_pallas_nfa_matches_xla(pattern):
         ref = np.asarray(dp.nfa_matches(chars, nch, anchored))
         got = np.asarray(nfa.matches(chars, nch, anchored))
         assert ref.tolist() == got.tolist(), (pattern, anchored)
+        if nfa.bits_ok:
+            # .matches dispatches <=32-inst programs to the bit-parallel
+            # kernel; pin BOTH kernels against the XLA engine here
+            for fn in (nfa._matches_bits, nfa._matches_f32):
+                got2 = np.asarray(fn(chars, nch, anchored, False))
+                assert ref.tolist() == got2.tolist(), (
+                    pattern, anchored, fn.__name__,
+                )
 
 
 def test_non_bmp_class_ranges():

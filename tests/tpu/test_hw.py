@@ -223,3 +223,43 @@ def test_pallas_compact_on_chip(col, corpus):
     exp = d[k]
     assert (got[: exp.size] == exp).all()
     assert (got[exp.size :] == 0).all()
+
+
+def test_bit_nfa_vs_f32_vs_xla(col, corpus):
+    """Bit-parallel u32-state NFA vs the f32 matmul kernel vs the XLA
+    engine, on chip (programs <= 32 insts ride the bit kernel by default)."""
+    import jax
+    import numpy as np
+
+    from custrings_tpu.ops import layout
+    from custrings_tpu.regex import ops as rx
+
+    chars, nch = layout.char_matrix(col)
+    for pattern in (r"#\w+", r"[Hh]ello"):
+        dp = rx.get_program(pattern)
+        nfa = rx._get_pallas_nfa(pattern)
+        assert nfa.bits_ok
+        ref = np.asarray(jax.device_get(dp.nfa_matches(chars, nch, False)))
+        for fn in (nfa._matches_bits, nfa._matches_f32):
+            got = np.asarray(jax.device_get(fn(chars, nch, False, False)))
+            assert ref.tolist() == got.tolist(), (pattern, fn.__name__)
+
+
+def test_ragged_gather_words_be(col, corpus):
+    """In-kernel MXU big-endian word packing vs a numpy oracle, on chip."""
+    import jax
+    import numpy as np
+
+    from custrings_tpu.ops.pallas_window import ragged_gather_words
+
+    W = 64
+    data = np.asarray(jax.device_get(col.data))
+    starts = np.asarray(jax.device_get(col.offsets))[:-1]
+    got = np.asarray(
+        jax.device_get(ragged_gather_words(col.data, col.offsets[:-1], W))
+    ).astype(np.uint32)
+    dp0 = np.concatenate([data, np.zeros(W + 8192, np.uint8)])
+    ref = np.stack([dp0[s : s + W] for s in starts])
+    r4 = ref.reshape(len(starts), -1, 4).astype(np.uint32)
+    refw = (r4[..., 0] << 24) | (r4[..., 1] << 16) | (r4[..., 2] << 8) | r4[..., 3]
+    assert (got == refw).all()
