@@ -11,7 +11,7 @@ python -m pytest tests/test_api.py tests/test_category.py \
   tests/test_column.py tests/test_edge.py tests/test_format.py \
   tests/test_fuzz.py tests/test_multihost.py tests/test_segments.py \
   tests/test_datetime_parity.py tests/test_ordered_engine.py \
-  tests/test_shift_compact.py \
+  tests/test_shift_compact.py tests/test_pallas_scan.py \
   -q --junitxml=test-results-a.xml "$@"
 python -m pytest tests/test_ops.py tests/test_parallel.py \
   tests/test_regex.py tests/test_replace_multi.py tests/test_split.py \

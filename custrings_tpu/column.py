@@ -202,9 +202,13 @@ def cumsum0(sizes: jax.Array) -> jax.Array:
 
     The TPU replacement for the reference's thrust::exclusive_scan step in the
     canonical two-pass pattern (e.g. cpp/src/strings/split.cu:147-161).
+    Large operands (token/byte domains at the 1M tier) route to the
+    linear-pass Pallas scan (ops/pallas_scan.py).
     """
+    from .ops.pallas_scan import cumsum_i32
+
     out = jnp.zeros(sizes.shape[0] + 1, dtype=jnp.int32)
-    return out.at[1:].set(jnp.cumsum(sizes.astype(jnp.int32)))
+    return out.at[1:].set(cumsum_i32(sizes))
 
 
 # implementation selector: scatter-add+cumsum vs vectorized binary search;
@@ -224,9 +228,11 @@ def row_ids_from_offsets(offsets: jax.Array, capacity: int) -> jax.Array:
             jnp.searchsorted(offsets, j, side="right").astype(jnp.int32) - 1
         )
     else:
+        from .ops.pallas_scan import cumsum_i32
+
         starts = offsets[:-1]
         marks = jnp.zeros((capacity + 1,), jnp.int32).at[starts].add(1)
-        ids = jnp.cumsum(marks[:capacity]) - 1
+        ids = cumsum_i32(marks[:capacity]) - 1
     return jnp.clip(ids, 0, max(nrows - 1, 0))
 
 

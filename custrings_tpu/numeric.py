@@ -13,6 +13,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+from .ops.pallas_scan import cumsum_i32 as _pscan_cumsum
 import numpy as np
 
 
@@ -64,7 +65,7 @@ def from_numbers(narr, nulls=None) -> NumericCategory:
         neq_full = jnp.concatenate([jnp.zeros(1, jnp.bool_), neq])
     else:
         neq_full = jnp.zeros(n, jnp.bool_)
-    ranks = jnp.cumsum(neq_full.astype(jnp.int32))
+    ranks = _pscan_cumsum(neq_full.astype(jnp.int32))
     values = jnp.zeros(n, jnp.int32).at[order].set(ranks)
     first = (
         jnp.concatenate([jnp.ones(1, jnp.bool_), neq_full[1:]])

@@ -12,6 +12,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from ..column import StringColumn
 from ..unicode.tables import (
@@ -59,7 +60,7 @@ def _all_chars_match(col: StringColumn, flag_mask: int) -> jax.Array:
     ok = (fl.astype(jnp.int32) & flag_mask) > 0
     # Segment-and over chars of each row: count matching chars == nchars.
     cnt0 = jnp.zeros(fl.shape[0] + 1, jnp.int32).at[1:].set(
-        jnp.cumsum(ok.astype(jnp.int32))
+        _pscan_cumsum(ok.astype(jnp.int32))
     )
     per_row = cnt0[cm.char_offsets[1:]] - cnt0[cm.char_offsets[:-1]]
     nch = cm.nchars()
@@ -108,7 +109,7 @@ def _case_predicate(col: StringColumn, want_upper: bool) -> jax.Array:
     good_flag = FLAG_UPPER if want_upper else FLAG_LOWER
     bad = alpha & ((fl & good_flag) == 0)
     bad0 = jnp.zeros(fl.shape[0] + 1, jnp.int32).at[1:].set(
-        jnp.cumsum(bad.astype(jnp.int32))
+        _pscan_cumsum(bad.astype(jnp.int32))
     )
     bad_per_row = bad0[cm.char_offsets[1:]] - bad0[cm.char_offsets[:-1]]
     nch = cm.nchars()

@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from ..column import StringColumn, cumsum0, row_ids_from_offsets
 from ..config import bucket_bytes
@@ -60,7 +61,7 @@ def _char_plan(col, body_fn, static_args, ccap, *args):
     cps = _call_cp_fn(cp_fn, crows, oc, cvalid, c, char_offsets, ccap)
     bts, w = layout.encode_codepoints(cps)
     w = jnp.where(cvalid, w, 0)
-    cb0 = jnp.zeros(ccap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
+    cb0 = jnp.zeros(ccap + 1, jnp.int32).at[1:].set(_pscan_cumsum(w))
     out_offsets = cb0[jnp.minimum(char_offsets, ccap)]
     return validity, cvalid, bts, w, cb0, out_offsets
 
@@ -115,7 +116,7 @@ def _phase_write(col, body_fn, static_args, ccap, bcap, ascii_out, *args):
         return data, char_offsets, validity
     _, w = layout.encode_codepoints(cps)
     w = jnp.where(cvalid, w, 0)
-    cb0 = jnp.zeros(ccap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
+    cb0 = jnp.zeros(ccap + 1, jnp.int32).at[1:].set(_pscan_cumsum(w))
     out_offsets = cb0[jnp.minimum(char_offsets, ccap)]
     # Round 3: byte layout = monotone EXPANSION of the codepoints to their
     # byte offsets (ops/shift_compact.py) + a <=3-deep select fill for

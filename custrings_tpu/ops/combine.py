@@ -9,6 +9,7 @@ Null parity: cat -> null when either side is null and no na_rep
 from __future__ import annotations
 
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 import numpy as np
 
 from ..column import StringColumn, build_column, jit_materialize
@@ -121,7 +122,7 @@ def _join_body(
     sizes = jnp.sum(piece, keepdims=True).astype(jnp.int32)
     validity = jnp.ones(1, jnp.bool_)
 
-    piece_off = jnp.zeros(n + 1, jnp.int32).at[1:].set(jnp.cumsum(piece))
+    piece_off = jnp.zeros(n + 1, jnp.int32).at[1:].set(_pscan_cumsum(piece))
     starts = col.offsets[:-1]
 
     def produce(rows, k, valid):

@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 import numpy as np
 
 from ..column import StringColumn
@@ -98,7 +99,7 @@ def _find_impl(col: StringColumn, pat, starts_ends, reverse: bool, use_ranges: b
     # first/last ok byte per row WITHOUT a capacity-sized segment reduce:
     # prefix-count the hits, then binary-search the k-th hit position for
     # each row (rows-count-sized work)
-    okc = jnp.cumsum(ok.astype(jnp.int32))  # inclusive
+    okc = _pscan_cumsum(ok.astype(jnp.int32))  # inclusive
     okc0 = jnp.concatenate([jnp.zeros(1, jnp.int32), okc])
     t0 = okc0[col.offsets[:-1]]
     t1 = okc0[col.offsets[1:]]
@@ -246,7 +247,7 @@ def _count_literal_impl(col: StringColumn, p) -> jax.Array:
         & layout.valid_byte_mask(col)
     )
     ok0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(ok.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(ok.astype(jnp.int32))]
     )
     cnt = segments.per_row_of_prefix(ok0, col.offsets)
     return jnp.where(col.validity, cnt, 0)

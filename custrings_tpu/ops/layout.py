@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 import numpy as np
 
 from ..column import StringColumn, row_ids_from_offsets  # noqa: F401 (re-export)
@@ -88,7 +89,7 @@ def _char_map(data, offsets):
     real = j < offsets[-1]
     starts = ((data & 0xC0) != 0x80) & real
     cs0 = jnp.zeros(capacity + 1, jnp.int32).at[1:].set(
-        jnp.cumsum(starts.astype(jnp.int32))
+        _pscan_cumsum(starts.astype(jnp.int32))
     )
     char_offsets = cs0[offsets]
     # Compact: char_pos[cs0[j]] = j for start bytes (dummy slot for others).
@@ -438,7 +439,7 @@ def set_row_nonascii_hint(col: StringColumn, ids) -> None:
 @jax.jit
 def _row_nonascii(data, offsets):
     hi0 = jnp.zeros(data.shape[0] + 1, jnp.int32).at[1:].set(
-        jnp.cumsum((data >= 0x80).astype(jnp.int32))
+        _pscan_cumsum((data >= 0x80).astype(jnp.int32))
     )
     return (hi0[offsets[1:]] - hi0[offsets[:-1]]) > 0
 

@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 import numpy as np
 
 from ..column import StringColumn, build_column, cumsum0
@@ -82,7 +83,7 @@ def _replace_plan(col: StringColumn, p, m: int, bordered: bool, n: int):
     picked = _greedy_select(match, m, bordered)
     if n >= 0:
         pk0 = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+            [jnp.zeros(1, jnp.int32), _pscan_cumsum(picked.astype(jnp.int32))]
         )
         base = segments.broadcast_rows_to_bytes(
             pk0[col.offsets[:-1]], col.offsets, cap
@@ -96,10 +97,10 @@ def _replace_plan(col: StringColumn, p, m: int, bordered: bool, n: int):
     inside = (last_start >= 0) & (j - last_start < m)
 
     picks_before0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(picked.astype(jnp.int32))]
     )
     covered_before0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(inside.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(inside.astype(jnp.int32))]
     )
     row_start = segments.row_start_positions(col.offsets, cap)
     picks_in_row = picks_before0[:cap] - segments.broadcast_rows_to_bytes(
@@ -178,7 +179,7 @@ def _replace_write_gather(col: StringColumn, plan, r, m: int, rl: int, bcap: int
     # t(q): replacement-starts at output positions <= q (sparse scatter-add)
     A = jnp.zeros(bcap + 1, jnp.int32).at[startq].add(1)
     A0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(A[:bcap])]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(A[:bcap])]
     )
     out_row_start = out_offsets[:-1][rows_out]
     # starts from EARLIER rows can collide positionally with this row's
@@ -189,7 +190,7 @@ def _replace_write_gather(col: StringColumn, plan, r, m: int, rl: int, bcap: int
     mark = jnp.full(bcap + 1, -1, jnp.int32).at[startq].max(
         jnp.where(picked, out_pos, -1)
     )
-    last_start = jax.lax.cummax(mark[:bcap], axis=0)
+    last_start = segments.cummax(mark[:bcap])
     in_repl = (last_start >= 0) & (bq - last_start < rl) if rl else jnp.zeros(
         bcap, jnp.bool_
     )
@@ -233,7 +234,7 @@ def _replace_same_len(col, p, r, m: int, bordered: bool, n: int):
     picked = _greedy_select(match, m, bordered)
     if n >= 0:
         pk0 = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+            [jnp.zeros(1, jnp.int32), _pscan_cumsum(picked.astype(jnp.int32))]
         )
         base = segments.broadcast_rows_to_bytes(
             pk0[col.offsets[:-1]], col.offsets, cap
@@ -408,7 +409,7 @@ def translate(col: StringColumn, table) -> StringColumn:
     kv = kept & cvalid
     # compact mapping: out char index -> in char index
     kpos0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(kv.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(kv.astype(jnp.int32))]
     )
     counts = segments.per_row_of_prefix(kpos0, cm.char_offsets)
     in_for_out = jnp.zeros(ncap + 1, jnp.int32).at[

@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from ..config import use_interpret_mode
 
@@ -211,7 +212,7 @@ def compact_bytes(data: jax.Array, keep: jax.Array, out_cap: int) -> jax.Array:
     out_cap is not tile-aligned."""
     cap = data.shape[0]
     k = keep.astype(jnp.int32)
-    k0 = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(k)])
+    k0 = jnp.concatenate([jnp.zeros(1, jnp.int32), _pscan_cumsum(k)])
 
     def scatter_path(_):
         return (

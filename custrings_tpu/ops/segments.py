@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "cumsum",
     "cummax",
     "broadcast_rows_to_bytes",
     "row_start_positions",
@@ -39,13 +40,27 @@ __all__ = [
 ]
 
 
-def cummax(x: jax.Array) -> jax.Array:
-    """Inclusive running maximum.
+def cumsum(x: jax.Array) -> jax.Array:
+    """Inclusive int32 prefix sum, routed by size.
 
-    Uses the native lax.cummax (reduce-window lowering): the generic
-    `associative_scan(jnp.maximum, ...)` decomposition produced XLA
-    programs whose remote TPU compiles hung for tens of minutes."""
-    return jax.lax.cummax(x, axis=0)
+    Below PSCAN_MIN: jnp.cumsum (XLA's log-pass lowering is fine there).
+    Above: the linear-pass Pallas kernel — XLA's ~log2(N) shifted-add
+    passes cost ~60-70 ms per scan at 268M lanes and were the dominant
+    term of the round-3 1M-tier regression (ops/pallas_scan.py)."""
+    from .pallas_scan import cumsum_i32
+
+    return cumsum_i32(x)
+
+
+def cummax(x: jax.Array) -> jax.Array:
+    """Inclusive running maximum, routed by size (see `cumsum`).
+
+    Below PSCAN_MIN uses native lax.cummax (reduce-window lowering): the
+    generic `associative_scan(jnp.maximum, ...)` decomposition produced
+    XLA programs whose remote TPU compiles hung for tens of minutes."""
+    from .pallas_scan import cummax_i32
+
+    return cummax_i32(x)
 
 
 def broadcast_rows_to_bytes(
@@ -59,7 +74,7 @@ def broadcast_rows_to_bytes(
     rv = row_values.astype(jnp.int32)
     deltas = jnp.concatenate([rv[:1], rv[1:] - rv[:-1]])
     acc = jnp.zeros(capacity + 1, jnp.int32).at[offsets[:-1]].add(deltas)
-    return jnp.cumsum(acc[:capacity])
+    return cumsum(acc[:capacity])
 
 
 def row_start_positions(offsets: jax.Array, capacity: int) -> jax.Array:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 import numpy as np
 
 _INF = np.int32(1 << 30)  # np: a module-level jnp constant would init the backend at import
@@ -49,10 +50,20 @@ def compact_arrays(keep: jax.Array, arrays, max_dist: int | None = None):
     Returns (compacted list, k0) where k0 = int32[N+1] exclusive prefix
     count of keep; positions >= k0[-1] of each output are zero-filled.
     max_dist bounds the move distance (= max #dropped before any kept
-    element) when the caller knows one — fewer rounds."""
+    element) when the caller knows one — fewer rounds.
+
+    Above ROUTE_MIN lanes the log2(N) full-capacity roll rounds become
+    the dominant super-linear cost (28 x 2 GB passes at 268M lanes) and
+    the work routes to the LINEAR streaming kernel instead
+    (ops/pallas_route.py)."""
     N = keep.shape[0]
+    from ..config import use_interpret_mode
+    from . import pallas_route
+
+    if N >= pallas_route.ROUTE_MIN and not use_interpret_mode():
+        return pallas_route.compact_stream(keep, arrays)
     k0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(keep.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(keep.astype(jnp.int32))]
     )
     j = jnp.arange(N, dtype=jnp.int32)
     r = jnp.where(keep, j - k0[:N], _INF)
@@ -85,8 +96,21 @@ def expand_arrays(live: jax.Array, dist: jax.Array, arrays):
     j + dist[j] < N (the caller sizes the arrays to the output domain and
     pads the tail with dead lanes).  Returns (moved list, placed mask);
     unplaced lanes are zero-filled.
+
+    Above ROUTE_MIN lanes the work routes to the linear streaming kernel
+    (see compact_arrays); the kernel needs dist nondecreasing on ALL
+    lanes, so dead lanes are forward-filled with a running max first.
     """
     N = live.shape[0]
+    from ..config import use_interpret_mode
+    from . import pallas_route
+    from . import segments
+
+    if N >= pallas_route.ROUTE_MIN and not use_interpret_mode():
+        dmono = segments.cummax(
+            jnp.where(live, dist.astype(jnp.int32), 0)
+        )
+        return pallas_route.expand_stream(live, dmono, arrays)
     r = jnp.where(live, dist.astype(jnp.int32), _INF)
     vals = [jnp.where(live, a, _zero(a)) for a in arrays]
     # MSB-first: the mirror of the LSB-first left-routing proof.  At round

@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from ..column import (
     StringColumn,
@@ -192,7 +193,7 @@ def _delim_body(
         picked = _greedy_select(match, m, bordered)
 
     pk0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(picked.astype(jnp.int32))]
     )
     delims_per_row = segments.per_row_of_prefix(pk0, col.offsets)
     allowed = maxsplit if maxsplit > 0 else _INF
@@ -408,7 +409,7 @@ def _ws_body(col: StringColumn, tcap, maxsplit: int, from_right: bool):
 
     n = col.size
     ws0_pre = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(wstart.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(wstart.astype(jnp.int32))]
     )
     words = segments.per_row_of_prefix(ws0_pre, cm.char_offsets)
     T = maxsplit + 1 if maxsplit > 0 else _INF
@@ -425,7 +426,7 @@ def _ws_body(col: StringColumn, tcap, maxsplit: int, from_right: bool):
 
     ws0 = ws0_pre
     we0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(wend.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(wend.astype(jnp.int32))]
     )
     ws_rank = ws0[:ncap] - bcast(ws0[cm.char_offsets[:-1]])
     we_rank = we0[:ncap] - bcast(we0[cm.char_offsets[:-1]])

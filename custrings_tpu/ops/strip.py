@@ -10,6 +10,7 @@ per-thread loops, then rows are byte-sliced.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from functools import partial
 
@@ -50,7 +51,7 @@ def _strip_window(col: StringColumn, to_strip, left: bool, right: bool):
     n = col.size
     # first/last non-member char per row via prefix-count binary search
     # (a capacity-sized segment min/max scatter costs ~25 ms at 4M chars)
-    nonc = jnp.cumsum(non.astype(jnp.int32))
+    nonc = _pscan_cumsum(non.astype(jnp.int32))
     nonc0 = jnp.concatenate([jnp.zeros(1, jnp.int32), nonc])
     t0 = nonc0[cm.char_offsets[:-1]]
     t1 = nonc0[cm.char_offsets[1:]]

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from ..column import StringColumn
 from . import array, layout
@@ -99,7 +100,7 @@ def _encode_sorted(col: StringColumn, width: int, full_width: int):
                     jnp.zeros(n - 1, jnp.bool_),
                 )
             ambiguous = jnp.any(tied & diff)
-    ranks = jnp.cumsum(neq.astype(jnp.int32))
+    ranks = _pscan_cumsum(neq.astype(jnp.int32))
     values = jnp.zeros(n, jnp.int32).at[ord_].set(ranks)
     # first-occurrence (in sorted order) positions -> key gather indexes
     first = jnp.concatenate([jnp.ones(1, jnp.bool_), neq[1:]]) if n else neq

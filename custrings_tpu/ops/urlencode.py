@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from .pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from ..column import StringColumn, cumsum0
 from ..config import bucket_bytes
@@ -46,7 +47,7 @@ def _encode_plan(col: StringColumn):
     keep = _unreserved(b) & real
     w = jnp.where(real, jnp.where(keep, 1, 3), 0).astype(jnp.int32)
     # output offsets at byte granularity
-    ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
+    ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(_pscan_cumsum(w))
     out_offsets = ob0[col.offsets]
     return real, keep, b, w, ob0, out_offsets
 
@@ -150,7 +151,7 @@ def _decode_plan(col: StringColumn):
         start, (_hex_val(b1) * 16 + _hex_val(b2)).astype(jnp.uint8), col.data
     )
     w = emit.astype(jnp.int32)
-    ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(jnp.cumsum(w))
+    ob0 = jnp.zeros(cap + 1, jnp.int32).at[1:].set(_pscan_cumsum(w))
     out_offsets = ob0[col.offsets]
     return emit, out_b, ob0, out_offsets
 

@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..ops.pallas_scan import cumsum_i32 as _pscan_cumsum
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -130,7 +131,7 @@ def _sort_unique_ranks(words, lens, valid, row_alive):
         neq = jnp.concatenate([jnp.zeros(1, jnp.bool_), row_neq])
     else:
         neq = jnp.zeros(R, jnp.bool_)
-    ranks = jnp.cumsum(neq.astype(jnp.int32))
+    ranks = _pscan_cumsum(neq.astype(jnp.int32))
     values = jnp.zeros(R, jnp.int32).at[order].set(ranks)
     values = jnp.where(row_alive, values, -1)
     # unique table at fixed capacity R: scatter sorted rows by rank
@@ -249,7 +250,7 @@ def _psrs_merge(lv, K, axis: str, S: int, cap: int):
             jnp.any(scols[1:] != scols[:-1], axis=1),
         ]
     )
-    ranks_sorted = jnp.cumsum(isnew.astype(jnp.int32)) - 1
+    ranks_sorted = _pscan_cumsum(isnew.astype(jnp.int32)) - 1
     owned = jnp.sum(isnew.astype(jnp.int32))
     ranks_at_slot = (
         jnp.full(S * cap, -1, jnp.int32)

@@ -9,6 +9,7 @@ rows [i, i+N) with the separator.  count <= N falls back to a full join
 from __future__ import annotations
 
 import jax.numpy as jnp
+from ..ops.pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from ..column import StringColumn, build_column
 from ..ops import array, combine, layout
@@ -33,7 +34,7 @@ def create_ngrams(
     lens = toks.lengths()
     # sizes[i] = sum lens[i:i+n] + (n-1)*sl   (windowed sum via cumsum)
     l0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(lens.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(lens.astype(jnp.int32))]
     )
     sizes = l0[n:] - l0[:-n] + (n - 1) * sl
     starts = toks.offsets[:-1]

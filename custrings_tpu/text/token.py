@@ -17,6 +17,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+from ..ops.pallas_scan import cumsum_i32 as _pscan_cumsum
 
 from ..column import (
     StringColumn,
@@ -60,10 +61,10 @@ def token_extents(col: StringColumn, delimiter: str | None = None):
 
     n = col.size
     ts0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(tstart.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(tstart.astype(jnp.int32))]
     )
     te0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(tend.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(tend.astype(jnp.int32))]
     )
     counts = segments.per_row_of_prefix(ts0, cm.char_offsets)
     counts = jnp.where(col.validity, counts, 0)
@@ -172,7 +173,7 @@ def tokenize_strings(col: StringColumn, delims: StringColumn) -> StringColumn:
 
     n = col.size
     pk0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(picked.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(picked.astype(jnp.int32))]
     )
     picks_per_row = segments.per_row_of_prefix(pk0, col.offsets)
     counts = jnp.where(col.validity, picks_per_row + 1, 0)
@@ -223,7 +224,7 @@ def normalize_spaces(col: StringColumn) -> StringColumn:
     counts = tc.counts()
     # sizes = sum(token bytes) + (count-1) spaces
     tl0 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(tok_lens.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(tok_lens.astype(jnp.int32))]
     )
     tok_bytes_per_row = tl0[tc.row_offsets[1:]] - tl0[tc.row_offsets[:-1]]
     sizes = tok_bytes_per_row + jnp.maximum(counts - 1, 0)
@@ -349,7 +350,7 @@ def replace_tokens(
     p_sizes = jnp.where(pvalid, p_sizes, 0)
 
     # output offsets per row = piece offsets at row boundaries
-    pb0 = jnp.zeros(pcap + 1, jnp.int32).at[1:].set(jnp.cumsum(p_sizes))
+    pb0 = jnp.zeros(pcap + 1, jnp.int32).at[1:].set(_pscan_cumsum(p_sizes))
     out_offsets = pb0[jnp.minimum(p_off, pcap)]
     total = int(out_offsets[-1])
     bcap = bucket_bytes(total)
