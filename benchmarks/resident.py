@@ -195,6 +195,7 @@ def build_op_loop(col: StringColumn, which: str):
                 hits = rx.contains_re(c, r"#\w+")
                 acc = acc + jnp.sum(hits.astype(jnp.int32))
             elif which == "charmatrix":
+                layout._cache(c)["max_row_bytes"] = cm_width
                 chars, nch = layout.char_matrix(c, cm_width)
                 acc = acc + chars[0, 0] + nch[0]
             elif which == "replace":
@@ -216,6 +217,7 @@ def build_op_loop(col: StringColumn, which: str):
                 )
                 acc = acc + jnp.sum(values)
             elif which in ("spans_safe", "spans_ambig"):
+                layout._cache(c)["max_row_bytes"] = cm_width
                 chars, nch = layout.char_matrix(c, cm_width)
                 zeros = jnp.zeros(chars.shape[0], jnp.int32)
                 nends = jnp.full(chars.shape[0], -1, jnp.int32)

@@ -54,8 +54,10 @@ from .pallas_scan import _lane_prefix_sum, _sublane_prefix, _triu128
 
 _INF = np.int32(1 << 30)
 
-#: production tile: T elements per grid step, as [T // 128, 128] registers
-_T = 1 << 14  # 16384
+#: production tile: T elements per grid step, as [T // 128, 128] registers.
+#: Measured (v5e, 268M elements): T=16384 ran 58ms compact / 101ms expand
+#: — grid-overhead bound at 16K steps; bigger tiles amortize it.
+_T = 1 << 16  # 65536
 #: alignment of 1-D HBM slices, in BYTES (see pallas_window.ALIGN)
 _ABYTES = 4096
 
@@ -97,31 +99,53 @@ def _route(r, vals, T: int, right: bool):
     element at flat position q moves to q + r[q] (right) / q - r[q]
     (left).  MSB-first for right moves, LSB-first for left (the two
     collision-free orders — shift_compact.py's proofs).  Returns the
-    routed (r, vals); placed lanes end with r == 0."""
+    routed (r, vals); placed lanes end with r == 0.
+
+    Op-count notes: INF = 2^30 has bits 0..29 clear, so a dead incoming
+    lane can never satisfy the take test — no rin < INF guard needed.
+    Payload lanes that neither take nor stay keep STALE values instead
+    of being zeroed; r tracks liveness, and every consumer reads
+    payloads only where r == 0."""
     bits = range(T.bit_length() - 2, -1, -1) if right else range(
         T.bit_length() - 1
     )
     for k in bits:
         b = 1 << k
         rin = _flat_roll(r, b, right)
-        take = (rin < _INF) & ((rin & b) != 0)
+        take = (rin & b) != 0
         stay = (r < _INF) & ((r & b) == 0)
         r = jnp.where(take, rin - b, jnp.where(stay, r, _INF))
         vals = [
-            jnp.where(take, _flat_roll(v, b, right), jnp.where(stay, v, 0))
-            for v in vals
+            jnp.where(take, _flat_roll(v, b, right), v) for v in vals
         ]
     return r, vals
 
 
 def _tile_prefix_incl(x, ut):
-    """Inclusive flat prefix sum over a [R<=128, 128] int32 tile."""
+    """Inclusive flat prefix sum over a [R, 128] int32 tile (R % 128 == 0
+    or R <= 128).  R > 128 uses the chunked matmul decomposition
+    (pallas_scan._chunked_excl_sum) — a direct [R,1] sublane log-prefix
+    costs ~8us/step at R >= 512."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .pallas_scan import _chunked_excl_sum
+
     local = _lane_prefix_sum(x, ut)
     R = x.shape[0]
-    rp = _sublane_prefix(
-        local[:, 127:128], R, jnp.add, jnp.zeros((), jnp.int32)
-    )
-    return local + (rp - local[:, 127:128])
+    if R <= 128:
+        rp = _sublane_prefix(
+            local[:, 127:128], R, jnp.add, jnp.zeros((), jnp.int32)
+        )
+        return local + (rp - local[:, 127:128])
+    C = R // 128
+    within, cross, _ = _chunked_excl_sum(local[:, 127:128], R, ut)
+    parts = []
+    for c in range(C):
+        col = pltpu.roll(within, C - c, 1)[:, 0:1] if c else within[:, 0:1]
+        parts.append(
+            local[c * 128 : (c + 1) * 128, :] + (col + cross[0, c])
+        )
+    return jnp.concatenate(parts, axis=0)
 
 
 # ---------------------------------------------------------------------------

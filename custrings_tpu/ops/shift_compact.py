@@ -89,6 +89,32 @@ def compact_bytes_x(data: jax.Array, keep: jax.Array) -> jax.Array:
     return out
 
 
+def expand_to(live, dist, arrays, out_cap: int):
+    """expand_arrays with an explicit output capacity (the streaming
+    kernel takes out_cap natively; the XLA roll network pads to it)."""
+    from ..config import use_interpret_mode
+    from . import pallas_route
+
+    N = live.shape[0]
+    if (
+        max(N, out_cap) >= pallas_route.ROUTE_MIN
+        and not use_interpret_mode()
+    ):
+        from . import segments
+
+        dmono = segments.cummax(jnp.where(live, dist.astype(jnp.int32), 0))
+        return pallas_route.expand_stream(
+            live, dmono, arrays, out_cap=out_cap
+        )
+    if out_cap > N:
+        pad = out_cap - N
+        live = jnp.pad(live, (0, pad))
+        dist = jnp.pad(dist, (0, pad))
+        arrays = [jnp.pad(a, (0, pad)) for a in arrays]
+    moved, placed = expand_arrays(live, dist, arrays)
+    return [m[:out_cap] for m in moved], placed[:out_cap]
+
+
 def expand_arrays(live: jax.Array, dist: jax.Array, arrays):
     """Move live element j RIGHT to position j + dist[j].
 

@@ -1116,9 +1116,10 @@ class DeviceProgram:
 
     # ---------------- executor C: all non-overlapping spans, one pass ----
 
-    @partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
     def all_spans(self, chars, lengths, validity, Rcap: int, exact: bool,
-                  ascii: bool = False):
+                  ascii: bool = False, groups: tuple = (),
+                  counts_only: bool = False):
         """ALL non-overlapping leftmost matches per row in ONE dispatch.
 
         Device-resident round loop around the single-match engines
@@ -1130,15 +1131,23 @@ class DeviceProgram:
         Returns (counts int32[N], begins int32[N, Rcap], ends int32[N,
         Rcap]); match r of a row occupies column r (-1 past its count —
         rows deactivate permanently, so matches are left-contiguous).
+
+        groups: optional capture-group ids; each adds a (GB, GE) pair of
+        int32[N, Rcap] planes recorded per match round via match-anchored
+        group executions — the device replacement for the per-round,
+        per-group host dispatches of replace_with_backrefs
+        (replace_backref.cu:122-207 extracts groups in the same pass).
+        A group that does not participate in a match records -1/-1.
         """
         N, L = chars.shape
+        G = len(groups)
 
         def cond(state):
             r, begins, active = state[0], state[1], state[2]
             return (r < Rcap) & jnp.any(active)
 
         def body(state):
-            r, begins, active, counts, B, E = state
+            r, begins, active, counts, B, E, GBE = state
             if exact:
                 m, b, e = self.spans_exec(
                     chars, lengths, begins, jnp.full((N,), -1, jnp.int32), 0,
@@ -1151,25 +1160,47 @@ class DeviceProgram:
             counts = counts + hit.astype(jnp.int32)
             # index pair must be same-dtype even if another op enabled x64
             z = jnp.zeros((), r.dtype)
-            B = jax.lax.dynamic_update_slice(
-                B, jnp.where(hit, b, -1).astype(jnp.int32)[:, None], (z, r)
-            )
-            E = jax.lax.dynamic_update_slice(
-                E, jnp.where(hit, e, -1).astype(jnp.int32)[:, None], (z, r)
-            )
+
+            def put(M, v):
+                return jax.lax.dynamic_update_slice(
+                    M, jnp.where(hit, v, -1).astype(jnp.int32)[:, None],
+                    (z, r),
+                )
+
+            if not counts_only:
+                B = put(B, b)
+                E = put(E, e)
+            GBE2 = []
+            for gi, g in enumerate(groups):
+                mg, bg, eg = self.spans_exec(
+                    chars, lengths,
+                    jnp.where(hit, b, 0).astype(jnp.int32),
+                    jnp.where(hit, b + 1, 0).astype(jnp.int32),
+                    g, ascii,
+                )
+                okg = hit & (mg > 0)
+                GBE2.append(put(GBE[2 * gi], jnp.where(okg, bg, -1)))
+                GBE2.append(put(GBE[2 * gi + 1], jnp.where(okg, eg, -1)))
             begins = jnp.where(
                 hit, jnp.where(e > b, e, begins + 1), begins
             ).astype(jnp.int32)
             active = hit & (begins <= lengths)
-            return r + 1, begins, active, counts, B, E
+            return r + 1, begins, active, counts, B, E, tuple(GBE2)
 
+        neg = jnp.full((N, 1 if counts_only else Rcap), -1, jnp.int32)
         state0 = (
             jnp.int32(0),
             jnp.zeros(N, jnp.int32),
             validity,
             jnp.zeros(N, jnp.int32),
-            jnp.full((N, Rcap), -1, jnp.int32),
-            jnp.full((N, Rcap), -1, jnp.int32),
+            neg,
+            neg,
+            tuple(neg for _ in range(2 * G)),
         )
         out = jax.lax.while_loop(cond, body, state0)
+        if G:
+            gbe = out[6]
+            return out[3], out[4], out[5], [
+                (gbe[2 * i], gbe[2 * i + 1]) for i in range(G)
+            ]
         return out[3], out[4], out[5]

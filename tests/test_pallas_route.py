@@ -86,6 +86,33 @@ def test_expand_stream_out_cap():
     assert np.asarray(placed).sum() == n
 
 
+def test_stream_padded_view_parity(monkeypatch):
+    monkeypatch.setenv("CUSTRINGS_STREAM_VIEW", "1")
+    from custrings_tpu import column
+    from custrings_tpu.ops import layout
+
+    rng = np.random.default_rng(3)
+    strs = [
+        "".join(chr(rng.integers(97, 123)) for _ in range(rng.integers(0, 30)))
+        for _ in range(300)
+    ]
+    strs += ["héllo wörld \U0001f389", "", "x" * 31]
+    col = column.from_host_strings(strs)
+    W = layout.max_row_bytes(col)
+    pv = np.asarray(layout.padded_view(col, W))
+    bs = [s.encode() for s in strs]
+    want = np.zeros((len(bs), W), np.uint8)
+    for i, b in enumerate(bs):
+        want[i, : len(b)] = np.frombuffer(b, np.uint8)
+    np.testing.assert_array_equal(pv, want)
+    mat, nch = layout.char_matrix(col, W)
+    mat = np.asarray(mat)
+    for i, s in enumerate(strs):
+        cps = [ord(c) for c in s]
+        np.testing.assert_array_equal(mat[i, : len(cps)], cps)
+        assert int(np.asarray(nch)[i]) == len(cps)
+
+
 def test_compact_stream_fuzz_ragged_tiles():
     rng = np.random.default_rng(99)
     for _ in range(5):
