@@ -149,6 +149,8 @@ def _tier(lines, K_pipe: int, K_ops: int, ops=None):
             "roofline_pct": round(100.0 * gbps / HBM_GBPS, 2),
         }
     tier = {"rows": len(lines), "per_op": ops_out}
+    if K_pipe <= 0:  # per-op-only tier (the 4M tier skips the pipeline)
+        return None, tier
     try:
         res = measure(lines, K=K_pipe)
     except Exception as e:
@@ -190,12 +192,13 @@ def main():
     if os.environ.get("CUSTRINGS_BENCH_1M", "1") != "0":
         try:
             lines1m = load_corpus(1 << 20)
-            # spans engines are benched at 16k only (item-3 criterion);
-            # the 1M tier focuses on the byte-bound pipeline ops
+            # round 4: the 1M tier also runs the spans engines
+            # (VERDICT r3 item 4) — findall/extract/replace_re all ride
+            # these paths
             _res1m, tier1m = _tier(
                 lines1m, K_pipe=4, K_ops=3,
                 ops=["charmatrix", "contains", "replace", "split",
-                     "categorize"],
+                     "categorize", "spans_safe", "spans_ambig"],
             )
             if _res1m is not None:
                 vs_pd_1m = round(
@@ -205,6 +208,26 @@ def main():
                 tier1m["vs_baseline"] = vs_pd_1m
         except Exception as e:  # 1M tier must not kill the headline
             tier1m = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # Round-4: a genuinely HBM-scale tier (VERDICT r3 item 5) — 4M rows
+    # (~0.9 GB), BASELINE config 5's single-chip surrogate.  categorize
+    # rows/s is its own headline there (BASELINE's metric definition).
+    tier4m = None
+    if os.environ.get("CUSTRINGS_BENCH_4M", "1") != "0":
+        try:
+            lines4m = load_corpus(1 << 22)
+            _res4m, tier4m = _tier(
+                lines4m, K_pipe=0, K_ops=2,
+                ops=["charmatrix", "contains", "replace", "split",
+                     "categorize"],
+            )
+            cat = tier4m.get("per_op", {}).get("categorize", {})
+            if "ms" in cat:
+                tier4m["categorize_rows_per_sec"] = round(
+                    (1 << 22) / (cat["ms"] / 1e3), 1
+                )
+        except Exception as e:
+            tier4m = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(
         json.dumps(
@@ -217,6 +240,7 @@ def main():
                 "e2e_relay_vs_baseline": round(dt_pd / dt_e2e, 3),
                 "tier_16k": tier16,
                 "tier_1m": tier1m,
+                "tier_4m": tier4m,
                 "note": "vs_baseline = pandas Series.str wall time / device-resident time; per-op GBps = logical bytes (bench._op_bytes) / resident time; roofline_pct vs 819 GB/s v5e HBM; e2e_* includes the axon relay transport (~13 MB/s tunnel, BASELINE.md)",
             }
         )
