@@ -176,6 +176,17 @@ def build_op_loop(col: StringColumn, which: str):
     tcap = bucket_bytes(col.capacity + col.size)
     cm_width = layout.max_row_bytes(col)
     na_rows = layout.row_nonascii_ids(col)
+    # split at HBM-scale columns mirrors the production routing
+    # (split.run_ragged over-threshold path): exact token/byte caps are
+    # learned once on host, then extents + write run with static shapes
+    split_big = col.capacity + col.size > (1 << 28)
+    if which == "split" and split_big:
+        tok_exact = int(jax.device_get(split._ragged_counts(
+            col, split._delim_body, (" ", -1, False))))
+        tcap_x = bucket_bytes(tok_exact)
+        _, _, byte_off0 = split._ragged_extents(
+            col, split._delim_body, (" ", -1, False), tcap_x)
+        bcap_x = bucket_bytes(int(jax.device_get(byte_off0[-1])))
     if which == "categorize":
         cat_width, cat_full = _settled_category_width(col)
     # spans paths (VERDICT r2 item 3): the longest-safe min-plus engine vs
@@ -204,9 +215,17 @@ def build_op_loop(col: StringColumn, which: str):
                 )
                 acc = acc + roffs[-1] + rdata[0].astype(jnp.int32)
             elif which == "split":
-                sdata, tok_off, byte_off = split._delim_full_bd(
-                    c, tcap, bcap, " ", -1, False
-                )
+                if split_big:
+                    tok_off, starts, byte_off = split._ragged_extents(
+                        c, split._delim_body, (" ", -1, False), tcap_x
+                    )
+                    sdata = split._ragged_write(
+                        c, starts, byte_off, bcap_x
+                    )
+                else:
+                    sdata, tok_off, byte_off = split._delim_full_bd(
+                        c, tcap, bcap, " ", -1, False
+                    )
                 acc = (
                     acc + tok_off[-1] + byte_off[-1]
                     + sdata[0].astype(jnp.int32)
@@ -246,6 +265,8 @@ def measure_ops(lines, K: int = 16, ops=None):
         "spans_safe", "spans_ambig",
     ]:
         try:
+            print(f"[op {which}] building+compiling", file=sys.stderr,
+                  flush=True)
             loop, args = build_op_loop(col, which)
             jax.block_until_ready(loop(*args, 1))
             jax.block_until_ready(loop(*args, K))

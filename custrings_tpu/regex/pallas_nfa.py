@@ -374,19 +374,34 @@ class PallasNFA:
         from jax.experimental import pallas as pl
 
         N, L = chars.shape
-        # VMEM budget: chars + memb + uid blocks are 4 bytes/position
-        # each.  T must be a POWER OF TWO: non-power-of-two lane counts
-        # (e.g. 768) fold to mixed sublane layouts that trip a Mosaic
-        # relayout error ("non-singleton dim replicated in destination").
-        T = 1024
-        while T > 256 and T * 12 * L > (4 << 20):
+        # Round 4: rows tile BOTH vector dims — each grid step processes
+        # an [8, T] slab (8 sublanes x T lanes = 8T rows), so every
+        # shift-mask-or round runs at full VPU utilization; the previous
+        # [1, T] layout used one sublane in eight and left contains_re
+        # ~8x off its op-count bound at the 1M tier (VERDICT r3 item 8).
+        # Position-major layout: plane rows 8p..8p+7 hold position p for
+        # the step's 8 sublane row-groups.  T must stay a POWER OF TWO
+        # (mixed sublane layouts trip a Mosaic relayout error).
+        T = 512
+        while T > 128 and T * 8 * 12 * L > (8 << 20):
             T //= 2
-        pad = (-N) % T
+        RT = 8 * T
+        pad = (-N) % RT
         if pad:
             chars = jnp.pad(chars, ((0, pad), (0, 0)))
             lengths = jnp.pad(lengths, (0, pad))
         NP = N + pad
+        G = NP // RT
         membw, uid = self._pos_tables(chars, lengths, ascii)
+
+        def slab(x, Lx):
+            # [NP, Lx] -> [Lx*8, G*T]: row Lx_idx*8 + s, col g*T + l
+            return (
+                x.reshape(G, 8, T, Lx)
+                .transpose(3, 1, 0, 2)
+                .reshape(Lx * 8, G * T)
+            )
+
         kernel = _bit_kernel_factory(
             self.U,
             self.I,
@@ -402,21 +417,21 @@ class PallasNFA:
         with jax.enable_x64(False):
             out = pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((NP // T, T), jnp.int32),
-                grid=(NP // T,),
+                out_shape=jax.ShapeDtypeStruct((G * 8, T), jnp.int32),
+                grid=(G,),
                 in_specs=[
-                    pl.BlockSpec((L, T), lambda i: (0, i)),
-                    pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
-                    pl.BlockSpec((L, T), lambda i: (0, i)),
-                    pl.BlockSpec((L + 1, T), lambda i: (0, i)),
+                    pl.BlockSpec((L * 8, T), lambda i: (0, i)),
+                    pl.BlockSpec((G * 8, T), lambda i: (0, 0)),
+                    pl.BlockSpec((L * 8, T), lambda i: (0, i)),
+                    pl.BlockSpec(((L + 1) * 8, T), lambda i: (0, i)),
                 ],
-                out_specs=pl.BlockSpec((NP // T, T), lambda i: (0, 0)),
+                out_specs=pl.BlockSpec((8, T), lambda i: (i, 0)),
                 interpret=use_interpret_mode(),
             )(
-                chars.astype(jnp.int32).T,
-                lengths.astype(jnp.int32).reshape(NP // T, T),
-                membw[:, :, 0].T,
-                uid.T,
+                slab(chars.astype(jnp.int32), L),
+                lengths.astype(jnp.int32).reshape(G * 8, T),
+                slab(membw[:, :, 0], L),
+                slab(uid, L + 1),
             )
         return out.reshape(NP)[:N] > 0
 
@@ -431,14 +446,17 @@ def _bit_kernel_factory(
         from jax.experimental import pallas as pl
 
         gi = pl.program_id(0)
-        L, T = chars_ref.shape
-        lens_v = lens2_ref[pl.ds(gi, 1), :]  # [1, T]
+        L8, T = chars_ref.shape
+        L = L8 // 8
+        lens_v = lens2_ref[pl.ds(gi * 8, 8), :]  # [8, T]
         u32 = jnp.uint32
 
         def step(p, carry):
-            state, matched = carry  # uint32[1, T] bitmask / 0-1 flag
+            state, matched = carry  # uint32[8, T] bitmask / 0-1 flag
             pc = jnp.minimum(p, L - 1)
-            cur = jnp.where(p < lens_v, chars_ref[pl.ds(pc, 1), :], 0)
+            cur = jnp.where(
+                p < lens_v, chars_ref[pl.ds(pc * 8, 8), :], 0
+            )
             if anchored:
                 inj = (p == 0) & (matched == 0)
             else:
@@ -447,7 +465,7 @@ def _bit_kernel_factory(
             # eps-closure: source-major OR of per-inst reach rows, the
             # row selected per lane by the closure-variant id
             if U > 1:
-                uidv = uid_ref[pl.ds(p, 1), :]
+                uidv = uid_ref[pl.ds(p * 8, 8), :]
             closed = jnp.zeros_like(state)
             for i in range(I):
                 m = u32(0) - ((state >> i) & u32(1))
@@ -462,7 +480,7 @@ def _bit_kernel_factory(
                 (closed & u32(end_bits)) != 0
             ).astype(u32)
             # consume predicate bits: class planes + baked CHAR/ANY tests
-            pred = memb_ref[pl.ds(pc, 1), :]
+            pred = memb_ref[pl.ds(pc * 8, 8), :]
             for i, a in char_pairs:
                 pred = pred | ((cur == a).astype(u32) << i)
             if any_bits:
@@ -482,9 +500,9 @@ def _bit_kernel_factory(
                 nstate = nstate | (m & u32(nrows[i]))
             return nstate, matched
 
-        state0 = jnp.zeros((1, T), jnp.uint32)
-        matched0 = jnp.zeros((1, T), jnp.uint32)
+        state0 = jnp.zeros((8, T), jnp.uint32)
+        matched0 = jnp.zeros((8, T), jnp.uint32)
         _, matched = jax.lax.fori_loop(0, L + 1, step, (state0, matched0))
-        out_ref[pl.ds(gi, 1), :] = matched.astype(jnp.int32)
+        out_ref[:] = matched.astype(jnp.int32)
 
     return kernel
