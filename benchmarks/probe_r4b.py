@@ -105,7 +105,7 @@ def categorize_probe(rows):
 
     lines = load_corpus(rows)
     col = colmod.from_host_strings(lines)
-    width, full = _settled_category_width(col)
+    width, full, ucap = _settled_category_width(col)
     print(f"settled width={width} full={full}", flush=True)
     n = col.size
     words = array._key_words(col, width)
@@ -161,6 +161,18 @@ def categorize_probe(rows):
         return jnp.sum(out[2][:8])
 
     kloop(f"encode_sorted_{rows}", body_encode,
+          (col.data, col.offsets, col.validity))
+
+    def body_hashed(ops):
+        d, o, v = ops
+        c = StringColumn(d, o, v)
+        vg, rf, u, kw, _ = unique_mod._hash_group_phase(c, width, full)
+        vals, _, _, _ = unique_mod._rep_rank_phase(
+            c, kw, vg, rf, u, ucap, width, full
+        )
+        return jnp.sum(vals[:8])
+
+    kloop(f"encode_hashed_{rows}", body_hashed,
           (col.data, col.offsets, col.validity))
 
 

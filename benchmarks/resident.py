@@ -36,15 +36,17 @@ from custrings_tpu.ops import unique as unique_mod
 from custrings_tpu.regex import ops as rx
 
 
-def _settled_category_width(col: StringColumn) -> tuple[int, int]:
-    """Run the production escalation loop once to learn the static width
-    dictionary_encode settles at for this column (host side, pre-bench)."""
+def _settled_category_width(col: StringColumn) -> tuple[int, int, int]:
+    """Run the production escalation loop once to learn the static
+    (width, full_width, ucap) dictionary_encode settles at for this
+    column (host side, pre-bench).  Round 4: the hashed encode
+    (unique._encode_hashed) replaced the 18-pass LSD radix."""
     full_width = -(-layout.max_row_bytes(col) // 4) * 4
     width = min(full_width, 64)
     while True:
-        out = unique_mod._encode_sorted(col, width, full_width)
-        if width >= full_width or not bool(jax.device_get(out[4])):
-            return width, full_width
+        out = unique_mod._encode_hashed(col, width, full_width)
+        if width >= full_width or not bool(jax.device_get(out[3])):
+            return width, full_width, out[5]
         width = min(width * 4, full_width)
 
 
@@ -75,7 +77,7 @@ def build_resident_loop(
     tcap = bucket_bytes(col.capacity + col.size)
     cm_width = layout.max_row_bytes(col)
     na_rows = layout.row_nonascii_ids(col)
-    cat_width, cat_full = _settled_category_width(col)
+    cat_width, cat_full, cat_ucap = _settled_category_width(col)
     split_static = (delim, -1, False)
 
     @partial(jax.jit, static_argnums=(3,))
@@ -97,8 +99,12 @@ def build_resident_loop(
                 c, tcap, bcap, delim, -1, False
             )
             # -- categorize (dictionary encode values) ------------------
-            _, _, values, _, _ = unique_mod._encode_sorted(
-                c, cat_width, cat_full
+            values_g, rep_full, u, kwords, _ = (
+                unique_mod._hash_group_phase(c, cat_width, cat_full)
+            )
+            values, _, _, _ = unique_mod._rep_rank_phase(
+                c, kwords, values_g, rep_full, u, cat_ucap, cat_width,
+                cat_full,
             )
             acc = (
                 acc
@@ -188,7 +194,7 @@ def build_op_loop(col: StringColumn, which: str):
             col, split._delim_body, (" ", -1, False), tcap_x)
         bcap_x = bucket_bytes(int(jax.device_get(byte_off0[-1])))
     if which == "categorize":
-        cat_width, cat_full = _settled_category_width(col)
+        cat_width, cat_full, cat_ucap = _settled_category_width(col)
     # spans paths (VERDICT r2 item 3): the longest-safe min-plus engine vs
     # the exact ordered engine an alternation pattern is routed to
     dp_safe = rx.get_program(r"(\w+)@(\w+)")   # longest_safe=True
@@ -231,8 +237,12 @@ def build_op_loop(col: StringColumn, which: str):
                     + sdata[0].astype(jnp.int32)
                 )
             elif which == "categorize":
-                _, _, values, _, _ = unique_mod._encode_sorted(
-                    c, cat_width, cat_full
+                values_g, rep_full, u, kwords, _ = (
+                    unique_mod._hash_group_phase(c, cat_width, cat_full)
+                )
+                values, _, _, _ = unique_mod._rep_rank_phase(
+                    c, kwords, values_g, rep_full, u, cat_ucap,
+                    cat_width, cat_full,
                 )
                 acc = acc + jnp.sum(values)
             elif which in ("spans_safe", "spans_ambig"):

@@ -164,6 +164,37 @@ def _key_words_xla(col: StringColumn, width: int) -> jax.Array:
     )
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _key_words_stream(col: StringColumn, width: int) -> jax.Array:
+    """Key words from the STREAMING padded view + an MXU packing matmul.
+
+    At the 1M tier the per-row window DMAs of _key_words_pallas dominate
+    dictionary encode; the streaming padded view is one linear pass, and
+    the big-endian packing runs as two exact f32 matmuls against sparse
+    [width, width//4] matrices (byte values < 2^8, pair sums < 2^16;
+    HIGHEST precision — the TPU default bf16 pass would round) — no
+    [n, W//4, 4] repack tensor and no strided lane slices (both Mosaic/
+    XLA layout bombs, see _key_words docstring history)."""
+    import numpy as np
+
+    view = layout.padded_view(col, width)
+    W = width // 4
+    hi = np.zeros((width, W), np.float32)
+    lo = np.zeros((width, W), np.float32)
+    for k in range(W):
+        hi[4 * k + 0, k] = 256.0
+        hi[4 * k + 1, k] = 1.0
+        lo[4 * k + 2, k] = 256.0
+        lo[4 * k + 3, k] = 1.0
+    vf = view.astype(jnp.float32)
+    phi = jnp.dot(vf, jnp.asarray(hi), preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    plo = jnp.dot(vf, jnp.asarray(lo), preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    be = jax.lax.bitcast_convert_type((phi << 16) | plo, jnp.uint32)
+    return _mask_word_tails(be, col.lengths())
+
+
 def _key_words(col: StringColumn, width: int) -> jax.Array:
     """uint32[rows, width//4] big-endian packed bytes; 0-padded.
 
@@ -176,8 +207,11 @@ def _key_words(col: StringColumn, width: int) -> jax.Array:
     materializing the byte matrix (whose [n, W//4, 4] repack tiles the
     4-wide lane dim to 128 — a 32x blowup that OOMed the 1M-row tier in
     round 3).  The XLA fallback packs the padded byte view with strided
-    lane slices for the same reason.
+    lane slices for the same reason.  Large columns take the streaming
+    padded view + MXU packing (one linear pass instead of one DMA/row).
     """
+    if layout._use_stream_view(col, width):
+        return _key_words_stream(col, width)
     if layout._use_pallas_window():
         return _key_words_pallas(col, width)
     return _key_words_xla(col, width)

@@ -288,6 +288,37 @@ def _padded_view_stream(data, offsets, width):
     return flat.reshape(nrows, width)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _padded_view_stream_trunc(data, offsets, width):
+    """Streaming padded view for width < max row length: DROP each row's
+    bytes past `width` (a monotone compaction), then expand the
+    truncated stream onto the [rows, width] grid.  Two linear passes
+    instead of one 8 KB window DMA per row."""
+    from ..column import cumsum0
+    from . import segments
+    from .shift_compact import compact_arrays
+
+    cap = data.shape[0]
+    nrows = offsets.shape[0] - 1
+    j = jnp.arange(cap, dtype=jnp.int32)
+    row_start = segments.broadcast_rows_to_bytes(
+        offsets[:-1], offsets, cap
+    )
+    keep = ((j - row_start) < width) & (j < offsets[-1])
+    (cdata,), _ = compact_arrays(keep, [data])
+    lens = offsets[1:] - offsets[:-1]
+    toff = cumsum0(jnp.minimum(lens, width))
+    vr = jnp.arange(nrows, dtype=jnp.int32) * width - toff[:-1]
+    dist = segments.broadcast_rows_to_bytes(vr, toff, cap)
+    live = j < toff[-1]
+    from .pallas_route import expand_stream
+
+    (flat,), _ = expand_stream(
+        live, dist, [cdata], out_cap=nrows * width
+    )
+    return flat.reshape(nrows, width)
+
+
 #: flat out sizes at least this big take the streaming padded view
 STREAM_VIEW_MIN = 1 << 22
 
@@ -297,23 +328,29 @@ def _use_stream_view(col, width: int) -> bool:
     forces the streaming path even off-TPU (interpret mode, tests)."""
     import os
 
-    from ..config import use_interpret_mode
-
-    try:
-        mrb = max_row_bytes(col)  # syncs unless cached — fails under jit
-    except Exception:
-        return False
-    if width < mrb:
-        return False
     flag = os.environ.get("CUSTRINGS_STREAM_VIEW")
     if flag == "0":
         return False
     if flag == "1":
         return True
+    from ..config import use_interpret_mode
+
     return (
         not use_interpret_mode()
         and col.size * width >= STREAM_VIEW_MIN
     )
+
+
+def _stream_view_any(col, width: int):
+    """The streaming padded view for ANY width: pure expansion when the
+    width covers every row, compact-then-expand otherwise."""
+    try:
+        mrb = max_row_bytes(col)  # syncs unless cached — fails under jit
+    except Exception:
+        mrb = None
+    if mrb is not None and width >= mrb:
+        return _padded_view_stream(col.data, col.offsets, width)
+    return _padded_view_stream_trunc(col.data, col.offsets, width)
 
 
 def padded_view(col: StringColumn, width: int | None = None) -> jax.Array:
@@ -329,7 +366,7 @@ def padded_view(col: StringColumn, width: int | None = None) -> jax.Array:
     key = ("padded", width)
     if key not in c:
         if _use_stream_view(col, width):
-            c[key] = _padded_view_stream(col.data, col.offsets, width)
+            c[key] = _stream_view_any(col, width)
         else:
             fn = _padded_view_pallas if _use_pallas_window() else _padded_view
             c[key] = fn(col.data, col.offsets, width)
@@ -595,13 +632,17 @@ def char_matrix(col: StringColumn, width: int | None = None):
         if na is not None and (
             len(na) == 0 or len(na) * 8 <= max(col.size, 1)
         ):
+            try:
+                covers = width >= max_row_bytes(col)
+            except Exception:
+                covers = False
             c[key] = _char_matrix_hybrid(
                 col.data,
                 col.offsets,
                 col.lengths(),
                 jnp.asarray(na, jnp.int32),
                 width,
-                _use_stream_view(col, width),
+                _use_stream_view(col, width) and covers,
             )
         else:
             cm = char_map(col)

@@ -272,3 +272,53 @@ def test_merge_category_chained_unsorted_keyset():
     nc3 = catm.remove_keys(nc2, column.from_host_strings(["c"]))
     assert column.to_host_strings(nc3.keys) == ["a", "d", "e", "b", "f", "g"]
     assert catm.value_of(nc3, "b") == 3
+
+
+def test_hashed_encode_matches_sorted_encode():
+    """Round-4 hash-grouped encode vs the radix-sorted oracle."""
+    import numpy as np
+
+    from custrings_tpu import column
+    from custrings_tpu.ops import unique as unique_mod
+
+    rng = np.random.default_rng(77)
+    pool = ["apple", "pear", "b" * 80, "b" * 80 + "x", "", "zz", None,
+            "common prefix " + "q" * 70, "common prefix " + "q" * 70 + "t"]
+    for trial in range(4):
+        strs = [pool[i] for i in rng.integers(0, len(pool), 200)]
+        col = column.from_host_strings(strs)
+        full = -(-max((len((s or "").encode()) for s in strs), default=4) // 4) * 4
+        full = max(full, 4)
+        width = min(full, 16)
+        ord_, ranks, values_s, first, amb_s = unique_mod._encode_sorted(
+            col, width, full
+        )
+        values_h, key_rows, nkeys, amb_h, u, ucap = (
+            unique_mod._encode_hashed(col, width, full)
+        )
+        if not bool(amb_s):
+            np.testing.assert_array_equal(
+                np.asarray(values_h), np.asarray(values_s)
+            )
+            # key rows agree as STRINGS (representative choice may differ)
+            kidx_s = np.asarray(ord_)[np.nonzero(np.asarray(first))[0]]
+            kidx_h = np.asarray(key_rows)[: int(nkeys)]
+            ks = [strs[i] for i in kidx_s]
+            kh = [strs[i] for i in kidx_h]
+            assert ks == kh, (trial, ks, kh)
+        assert bool(amb_h) == bool(amb_s), trial
+
+
+def test_key_words_stream_parity(monkeypatch):
+    monkeypatch.setenv("CUSTRINGS_STREAM_VIEW", "1")
+    import numpy as np
+
+    from custrings_tpu import column
+    from custrings_tpu.ops import array
+
+    strs = ["alpha", "be", "", "x" * 37, "héllo🎉", "alpha"]
+    col = column.from_host_strings(strs)
+    w = 40
+    got = np.asarray(array._key_words_stream(col, w))
+    want = np.asarray(array._key_words_xla(col, w))
+    np.testing.assert_array_equal(got, want)
