@@ -40,13 +40,20 @@ def _settled_category_width(col: StringColumn) -> tuple[int, int, int]:
     """Run the production escalation loop once to learn the static
     (width, full_width, ucap) dictionary_encode settles at for this
     column (host side, pre-bench).  Round 4: the hashed encode
-    (unique._encode_hashed) replaced the 18-pass LSD radix."""
+    (unique._encode_hashed) replaces the 18-pass LSD radix at
+    HASHED_MIN+ rows (ucap < 0 marks the radix regime)."""
     full_width = -(-layout.max_row_bytes(col) // 4) * 4
     width = min(full_width, 64)
+    hashed = col.size >= unique_mod.HASHED_MIN
     while True:
-        out = unique_mod._encode_hashed(col, width, full_width)
-        if width >= full_width or not bool(jax.device_get(out[3])):
-            return width, full_width, out[5]
+        if hashed:
+            out = unique_mod._encode_hashed(col, width, full_width)
+            amb, ucap = out[3], out[5]
+        else:
+            amb = unique_mod._encode_sorted(col, width, full_width)[4]
+            ucap = -1
+        if width >= full_width or not bool(jax.device_get(amb)):
+            return width, full_width, ucap
         width = min(width * 4, full_width)
 
 
@@ -99,13 +106,18 @@ def build_resident_loop(
                 c, tcap, bcap, delim, -1, False
             )
             # -- categorize (dictionary encode values) ------------------
-            values_g, rep_full, u, kwords, _ = (
-                unique_mod._hash_group_phase(c, cat_width, cat_full)
-            )
-            values, _, _, _ = unique_mod._rep_rank_phase(
-                c, kwords, values_g, rep_full, u, cat_ucap, cat_width,
-                cat_full,
-            )
+            if cat_ucap >= 0:
+                values_g, rep_full, u, kwords, _ = (
+                    unique_mod._hash_group_phase(c, cat_width, cat_full)
+                )
+                values, _, _, _ = unique_mod._rep_rank_phase(
+                    c, kwords, values_g, rep_full, u, cat_ucap,
+                    cat_width, cat_full,
+                )
+            else:
+                _, _, values, _, _ = unique_mod._encode_sorted(
+                    c, cat_width, cat_full
+                )
             acc = (
                 acc
                 + jnp.sum(hits.astype(jnp.int32))
@@ -237,13 +249,20 @@ def build_op_loop(col: StringColumn, which: str):
                     + sdata[0].astype(jnp.int32)
                 )
             elif which == "categorize":
-                values_g, rep_full, u, kwords, _ = (
-                    unique_mod._hash_group_phase(c, cat_width, cat_full)
-                )
-                values, _, _, _ = unique_mod._rep_rank_phase(
-                    c, kwords, values_g, rep_full, u, cat_ucap,
-                    cat_width, cat_full,
-                )
+                if cat_ucap >= 0:
+                    values_g, rep_full, u, kwords, _ = (
+                        unique_mod._hash_group_phase(
+                            c, cat_width, cat_full
+                        )
+                    )
+                    values, _, _, _ = unique_mod._rep_rank_phase(
+                        c, kwords, values_g, rep_full, u, cat_ucap,
+                        cat_width, cat_full,
+                    )
+                else:
+                    _, _, values, _, _ = unique_mod._encode_sorted(
+                        c, cat_width, cat_full
+                    )
                 acc = acc + jnp.sum(values)
             elif which in ("spans_safe", "spans_ambig"):
                 layout._cache(c)["max_row_bytes"] = cm_width

@@ -481,3 +481,55 @@ def expand_stream(live, dist, arrays, out_cap: int | None = None,
     ]
     placed = outs[-1].reshape(-1)[:m_out] > 0
     return moved, placed
+
+
+# ---------------------------------------------------------------------------
+# span-level conveniences built on the stream kernels
+# ---------------------------------------------------------------------------
+
+
+def cover_spans(bb, ee, okm, cap: int):
+    """bool[cap] cover mask of the [bb, ee) spans (disjoint, ordered in
+    flat order; flat scatter + one linear prefix)."""
+    from . import segments
+
+    sb = jnp.where(okm, bb, cap).reshape(-1)
+    se = jnp.where(okm, ee, cap).reshape(-1)
+    A = jnp.zeros(cap + 1, jnp.int32).at[sb].add(1).at[se].add(-1)
+    return segments.cumsum(A[:cap]) > 0
+
+
+def stream_expand_spans(stream, total_live, starts, sizes, okf, out_cap):
+    """Expand a compacted byte stream into per-span output slots.
+
+    stream: uint8[dom] — span payload bytes back to back (span order =
+    the flat order of okf).  starts/sizes/okf: flat output start, byte
+    size, and liveness per span.  The expand distance is per-span
+    constant c_k = starts_k - rank_k (nondecreasing because output
+    positions strictly increase over spans); materialized over the
+    stream domain with a telescoping delta scatter + one linear prefix.
+    Returns uint8[out_cap] with zeros outside the spans.
+    """
+    from . import segments, shift_compact
+
+    dom = stream.shape[0]
+    nS = okf.shape[0]
+    sz_f = jnp.where(okf, sizes, 0)
+    rank0 = jnp.cumsum(sz_f) - sz_f  # rank of each span's first byte
+    c = (starts - rank0).astype(jnp.int32)
+    # compact the valid spans' (c, rank0) into span order (nS is small)
+    vpos = jnp.cumsum(okf.astype(jnp.int32)) - 1
+    tgt = jnp.where(okf, vpos, nS - 1)
+    cc = jnp.zeros(nS, jnp.int32).at[tgt].set(jnp.where(okf, c, 0))
+    rr = jnp.zeros(nS, jnp.int32).at[tgt].set(jnp.where(okf, rank0, 0))
+    nv = jnp.sum(okf.astype(jnp.int32))
+    iv = jnp.arange(nS, dtype=jnp.int32)
+    dlt = jnp.where(iv < nv, cc - jnp.where(iv > 0, jnp.roll(cc, 1), 0), 0)
+    dist = segments.cumsum(
+        jnp.zeros(dom + 1, jnp.int32)
+        .at[jnp.where(iv < nv, jnp.minimum(rr, dom), dom)]
+        .add(dlt)[:dom]
+    )
+    live = jnp.arange(dom, dtype=jnp.int32) < total_live
+    (plane,), _ = shift_compact.expand_to(live, dist, [stream], out_cap)
+    return plane

@@ -98,7 +98,27 @@ def _ragged_extents(col, body_fn, static_args, tcap, *args):
 
 @partial(jax.jit, static_argnums=(3,))
 def _ragged_write(col, starts, byte_off, bcap):
+    """Materialize token bytes.  Every run_ragged body emits tokens in
+    source order with disjoint spans, so at scale the write is a pure
+    monotone re-layout: cover-compact the token bytes out of the source,
+    then expand the stream to the output offsets (two linear kernel
+    passes).  Below ROUTE_MIN the byte-gather writer stays (the XLA
+    gather is fine at ~120M elem/s there; at an 800 MB capacity it
+    would cost seconds per call)."""
     from ..column import materialize_bytes
+    from ..config import use_interpret_mode
+    from . import shift_compact
+    from .pallas_route import ROUTE_MIN, cover_spans, stream_expand_spans
+
+    cap = col.capacity
+    if max(cap, bcap) >= ROUTE_MIN and not use_interpret_mode():
+        sizes = byte_off[1:] - byte_off[:-1]
+        ok = sizes > 0
+        keep = cover_spans(starts, starts + sizes, ok, cap)
+        (stream,), k0 = shift_compact.compact_arrays(keep, [col.data])
+        return stream_expand_spans(
+            stream, k0[-1], byte_off[:-1], sizes, ok, bcap
+        )
 
     def produce(trows, k, valid, bcast):
         return layout.gather_bytes(col.data, bcast(starts) + k)

@@ -19,6 +19,10 @@ from .pallas_scan import cumsum_i32 as _pscan_cumsum
 from ..column import StringColumn
 from . import array, layout, segments
 
+#: rows at or above this take the hash-grouped encode (below, the radix
+#: path's single fused program wins on fixed overheads)
+HASHED_MIN = 1 << 18
+
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _encode_sorted(col: StringColumn, width: int, full_width: int):
@@ -127,20 +131,38 @@ def dictionary_encode(col: StringColumn):
     width = min(full_width, 64)
     import numpy as np
 
-    # round 4: hash-grouped encode — one single-key sort over rows plus
-    # the full lexicographic machinery on group representatives only
-    # (see _encode_hashed; ~10x at the 1M tier, and the host fetch
-    # shrinks from [n] permutation planes to the [u] key rows)
-    while True:
-        values, key_rows, nkeys, ambiguous, _, _ = _encode_hashed(
-            col, width, full_width
-        )
-        if width >= full_width or not bool(jax.device_get(ambiguous)):
-            break
-        width = min(width * 4, full_width)
-
-    nk = int(jax.device_get(nkeys))
-    key_idx = np.asarray(jax.device_get(key_rows[:nk])).astype(np.int64)
+    # round 4: hash-grouped encode above HASHED_MIN rows — one
+    # single-key sort over rows plus the full lexicographic machinery on
+    # group representatives only (see _encode_hashed; 562 -> 132 ms at
+    # the 1M tier, and the host fetch shrinks from [n] permutation
+    # planes to the [u] key rows).  Small columns keep the radix path
+    # (the two-phase overhead costs more than it saves there).
+    if n >= HASHED_MIN:
+        while True:
+            values, key_rows, nkeys, ambiguous, _, _ = _encode_hashed(
+                col, width, full_width
+            )
+            if width >= full_width or not bool(
+                jax.device_get(ambiguous)
+            ):
+                break
+            width = min(width * 4, full_width)
+        nk = int(jax.device_get(nkeys))
+        key_idx = np.asarray(
+            jax.device_get(key_rows[:nk])
+        ).astype(np.int64)
+    else:
+        while True:
+            ord_, ranks, values, first, ambiguous = _encode_sorted(
+                col, width, full_width
+            )
+            amb_np, first_np, ord_np = jax.device_get(
+                (ambiguous, first, ord_)
+            )
+            if width >= full_width or not bool(amb_np):
+                break
+            width = min(width * 4, full_width)
+        key_idx = ord_np[np.nonzero(first_np)[0]]
     # unique row indices: gathered bytes bounded by the source capacity
     from ..column import BOUND_SYNC_THRESHOLD
     from .array import _gather_impl

@@ -750,13 +750,9 @@ def _c2b_fn(col: StringColumn, cm, nch):
 def _cover_spans(col: StringColumn, bb, ee, okm):
     """Byte-domain cover mask of the [bb, ee) spans (disjoint, ordered;
     flat scatter + linear prefix)."""
-    from ..ops import segments
+    from ..ops.pallas_route import cover_spans
 
-    cap = col.capacity
-    sb = jnp.where(okm, bb, cap).reshape(-1)
-    se = jnp.where(okm, ee, cap).reshape(-1)
-    A = jnp.zeros(cap + 1, jnp.int32).at[sb].add(1).at[se].add(-1)
-    return segments.cumsum(A[:cap]) > 0
+    return cover_spans(bb, ee, okm, col.capacity)
 
 
 def _replace_frame(col: StringColumn, Bb, Eb, hitm, rep_sz):
@@ -818,30 +814,9 @@ def _stream_expand_spans(col, stream, total_live, starts, sizes, okf, bcap):
     output positions strictly increase); materialized over the stream
     domain with a telescoping delta scatter + one linear prefix.
     """
-    from ..ops import segments, shift_compact
+    from ..ops.pallas_route import stream_expand_spans
 
-    cap = stream.shape[0]
-    nR = okf.shape[0]
-    sz_f = jnp.where(okf, sizes, 0)
-    rank0 = jnp.cumsum(sz_f) - sz_f  # rank of each span's first byte
-    c = (starts - rank0).astype(jnp.int32)
-    # compact the valid spans' (c, rank0) into span order
-    vpos = jnp.cumsum(okf.astype(jnp.int32)) - 1
-    tgt = jnp.where(okf, vpos, nR - 1)
-    cc = jnp.zeros(nR, jnp.int32).at[tgt].set(jnp.where(okf, c, 0))
-    rr = jnp.zeros(nR, jnp.int32).at[tgt].set(jnp.where(okf, rank0, 0))
-    nv = jnp.sum(okf.astype(jnp.int32))
-    iv = jnp.arange(nR, dtype=jnp.int32)
-    dlt = jnp.where(iv < nv, cc - jnp.where(iv > 0, jnp.roll(cc, 1), 0), 0)
-    dist = segments.cumsum(
-        jnp.zeros(cap + 1, jnp.int32)
-        .at[jnp.where(iv < nv, jnp.minimum(rr, cap), cap)]
-        .add(dlt)[:cap]
-    )
-    j = jnp.arange(cap, dtype=jnp.int32)
-    live = j < total_live
-    (plane,), _ = shift_compact.expand_to(live, dist, [stream], bcap)
-    return plane
+    return stream_expand_spans(stream, total_live, starts, sizes, okf, bcap)
 
 
 def _replace_backrefs_device(
