@@ -173,6 +173,11 @@ def run_ragged(body_fn, col, *args, static_args=()) -> TokenColumn:
         )
         total_tokens = int(tok_off[-1])  # one sync for logical slicing
     else:
+        if body_fn is _delim_body:
+            # over-threshold capacities: the byte-domain extents body
+            # plans ~6 int32[capacity] planes; the streaming variant
+            # (same signature/contract) keeps slot math in [tcap]
+            body_fn = _delim_extents_stream
         total_tokens = int(_ragged_counts(col, body_fn, static_args, *args))
         tcap = bucket_bytes(total_tokens)
         tok_off, starts, byte_off = _ragged_extents(
@@ -243,6 +248,92 @@ def _delim_body(
     tbase = bcast(tok_off[:-1])
     starts = starts.at[jnp.where(dused, tbase + used_rank + 1, tcap)].set(j + m)
     ends = ends.at[jnp.where(dused, tbase + used_rank, tcap)].set(j)
+    last_tok = jnp.where(col.validity, tok_off[1:] - 1, tcap)
+    ends = ends.at[last_tok].set(col.offsets[1:])
+    return counts, starts[:tcap], ends[:tcap]
+
+
+def _delim_extents_stream(
+    col: StringColumn, tcap, delim: str, maxsplit: int, from_right: bool
+):
+    """_delim_body's (counts, starts, ends) contract with NO capacity-
+    sized int32 planes past the delimiter compaction.
+
+    The round-4 4M-row tier showed _delim_body's extents planning ~6
+    int32[capacity] planes (~22 GB at an 800 MB corpus) — the compile
+    helper rejects the program outright.  Here the picked-delimiter
+    positions compact into the TOKEN domain first (one linear kernel
+    pass; the only capacity-sized transients are the bool masks, one
+    validity broadcast, and the compaction's position payload), and all
+    slot arithmetic runs on [tcap] arrays: delimiter q of valid row r is
+    token boundary k_q = q - dof[r], its token slots follow tok_off[r],
+    and the slot maps are monotone in q — expansions, not scatters.
+    Ref: the same two-pass shape as split.cu:143-220.
+    """
+    from ..column import row_ids_from_offsets
+    from . import shift_compact
+
+    pat_b = delim.encode("utf-8")
+    m = len(pat_b)
+    p = jnp.asarray(list(pat_b), jnp.uint8)
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    row_end = segments.row_end_positions(col.offsets, cap)
+    match = (
+        _match_mask(col.data, p)
+        & (j + m <= row_end)
+        & layout.valid_byte_mask(col)
+    )
+    bordered = _has_border(pat_b)
+    if from_right and bordered:
+        revm = jnp.roll(jnp.flip(match), -(m - 1))
+        picked_rev = _greedy_select(revm, m, True)
+        picked = jnp.roll(jnp.flip(picked_rev), -(m - 1))
+    else:
+        picked = _greedy_select(match, m, bordered)
+    vb = segments.broadcast_rows_to_bytes(
+        col.validity.astype(jnp.int32), col.offsets, cap
+    ) == 1
+    (dpos_full,), k0d = shift_compact.compact_arrays(picked & vb, [j])
+
+    dpr = k0d[col.offsets[1:]] - k0d[col.offsets[:-1]]
+    allowed = maxsplit if maxsplit > 0 else _INF
+    used = jnp.minimum(dpr, allowed)
+    counts = jnp.where(col.validity, used + 1, 0)
+    if tcap is None:
+        return counts
+
+    dpos = dpos_full[:tcap] if cap >= tcap else jnp.pad(
+        dpos_full, (0, tcap - cap)
+    )
+    tok_off = cumsum0(counts)
+    dof = cumsum0(dpr)
+    q = jnp.arange(tcap, dtype=jnp.int32)
+    r_q = row_ids_from_offsets(dof, tcap)
+    k_q = q - dof[r_q]
+    if from_right:
+        # quota consumes the RIGHTMOST delimiters
+        u_rank = k_q - (dpr[r_q] - used[r_q])
+    else:
+        u_rank = k_q
+    live = (q < dof[-1]) & (u_rank >= 0) & (u_rank < used[r_q])
+    t_end = tok_off[r_q] + u_rank  # slot whose token ENDS at this delim
+    # compact the USED delimiters first: with maxsplit quotas the dropped
+    # delimiters make t_end - q non-monotone; over consecutive ranks the
+    # expand distance t_end - rank is nondecreasing unconditionally
+    (cd, ct), k0l = shift_compact.compact_arrays(live, [dpos, t_end])
+    live2 = q < k0l[-1]
+    dist = jnp.where(live2, ct - q, 0)
+
+    (ends0, starts0), _ = shift_compact.expand_to(
+        live2, dist, [cd, cd + m], tcap + 1
+    )
+    # NOTE: starts0 holds the value for slot t_end; the token STARTING
+    # after this delimiter is slot t_end + 1 — shift by one slot.
+    starts = jnp.zeros(tcap + 1, jnp.int32).at[1:].set(starts0[:tcap])
+    ends = ends0
+    first_tok = jnp.where(col.validity, tok_off[:-1], tcap)
+    starts = starts.at[first_tok].set(col.offsets[:-1])
     last_tok = jnp.where(col.validity, tok_off[1:] - 1, tcap)
     ends = ends.at[last_tok].set(col.offsets[1:])
     return counts, starts[:tcap], ends[:tcap]

@@ -123,3 +123,41 @@ def test_rsplit_bordered_delim():
     got = record_lists(split.rsplit_record(dev(["aaaa", "aaa"]), "aa"))
     exp = [s.rsplit("aa") for s in ["aaaa", "aaa"]]
     assert got == exp
+
+
+def test_delim_extents_stream_parity():
+    """The streaming extents body (over-threshold split path) against
+    the byte-domain body, all maxsplit/from_right variants + multi-byte
+    delimiters."""
+    import numpy as np
+
+    from custrings_tpu import column
+    from custrings_tpu.ops import split as sp
+
+    rng = np.random.default_rng(5)
+    strs = [
+        "::".join(
+            "".join(rng.choice(list("abc:"), rng.integers(0, 6)))
+            for _ in range(rng.integers(0, 5))
+        )
+        for _ in range(200)
+    ]
+    strs += ["", None, "::::", "a::b::c", "::lead", "trail::"]
+    col = column.from_host_strings(strs)
+    T = 4096
+    for delim in (",", "::"):
+        for ms, fr in ((-1, False), (1, False), (2, True), (-1, True)):
+            c1, s1, e1 = [
+                np.asarray(x) for x in sp._delim_body(col, T, delim, ms, fr)
+            ]
+            c2, s2, e2 = [
+                np.asarray(x)
+                for x in sp._delim_extents_stream(col, T, delim, ms, fr)
+            ]
+            np.testing.assert_array_equal(c1, c2)
+            tok_off = np.concatenate([[0], np.cumsum(c1)])
+            live = np.zeros(T, bool)
+            for r in range(len(strs)):
+                live[tok_off[r]:tok_off[r + 1]] = True
+            assert not ((s1 != s2) & live).any(), (delim, ms, fr)
+            assert not ((e1 != e2) & live).any(), (delim, ms, fr)
