@@ -200,10 +200,10 @@ def build_op_loop(col: StringColumn, which: str):
     split_big = col.capacity + col.size > (1 << 28)
     if which == "split" and split_big:
         tok_exact = int(jax.device_get(split._ragged_counts(
-            col, split._delim_body, (" ", -1, False))))
+            col, split._delim_extents_stream, (" ", -1, False))))
         tcap_x = bucket_bytes(tok_exact)
         _, _, byte_off0 = split._ragged_extents(
-            col, split._delim_body, (" ", -1, False), tcap_x)
+            col, split._delim_extents_stream, (" ", -1, False), tcap_x)
         bcap_x = bucket_bytes(int(jax.device_get(byte_off0[-1])))
     if which == "categorize":
         cat_width, cat_full, cat_ucap = _settled_category_width(col)
@@ -235,7 +235,8 @@ def build_op_loop(col: StringColumn, which: str):
             elif which == "split":
                 if split_big:
                     tok_off, starts, byte_off = split._ragged_extents(
-                        c, split._delim_body, (" ", -1, False), tcap_x
+                        c, split._delim_extents_stream, (" ", -1, False),
+                        tcap_x,
                     )
                     sdata = split._ragged_write(
                         c, starts, byte_off, bcap_x
