@@ -488,14 +488,41 @@ def expand_stream(live, dist, arrays, out_cap: int | None = None,
 # ---------------------------------------------------------------------------
 
 
+def scatter_sorted(ok, idx, vals, out_len: int):
+    """zeros(out_len).at[idx[ok]].set(vals[ok]) for STRICTLY-INCREASING
+    idx over ok — as a monotone expansion (one linear pass) instead of
+    an XLA scatter (~40M indices/s: 850 ms per 140M-index scatter at
+    the 4M tier).  Also returns the placed mask."""
+    from . import shift_compact
+
+    n = idx.shape[0]
+    iv = jnp.arange(n, dtype=jnp.int32)
+    ok = ok & (idx >= iv)  # contract guard: expansion distances >= 0
+    dist = jnp.where(ok, idx - iv, 0)
+    (out,), placed = shift_compact.expand_to(ok, dist, [vals], out_len)
+    return out, placed
+
+
 def cover_spans(bb, ee, okm, cap: int):
     """bool[cap] cover mask of the [bb, ee) spans (disjoint, ordered in
-    flat order; flat scatter + one linear prefix)."""
+    flat order): +-1 boundary deltas placed by sorted-scatter expansions
+    + one linear prefix."""
     from . import segments
 
     sb = jnp.where(okm, bb, cap).reshape(-1)
     se = jnp.where(okm, ee, cap).reshape(-1)
-    A = jnp.zeros(cap + 1, jnp.int32).at[sb].add(1).at[se].add(-1)
+    okf = okm.reshape(-1) & (se > sb)
+    if sb.shape[0] >= ROUTE_MIN and not use_interpret_mode():
+        ones = jnp.ones(sb.shape[0], jnp.int32)
+        up, _ = scatter_sorted(okf, sb, ones, cap + 1)
+        dn, _ = scatter_sorted(okf, se, ones, cap + 1)
+        A = up - dn
+    else:
+        A = (
+            jnp.zeros(cap + 1, jnp.int32)
+            .at[jnp.where(okf, sb, cap)].add(1)
+            .at[jnp.where(okf, se, cap)].add(-1)
+        )
     return segments.cumsum(A[:cap]) > 0
 
 
@@ -514,22 +541,27 @@ def stream_expand_spans(stream, total_live, starts, sizes, okf, out_cap):
 
     dom = stream.shape[0]
     nS = okf.shape[0]
+    # zero-size spans own no stream bytes and would break the
+    # strictly-increasing rank the sorted-scatter placement needs
+    okf = okf & (sizes > 0)
     sz_f = jnp.where(okf, sizes, 0)
-    rank0 = jnp.cumsum(sz_f) - sz_f  # rank of each span's first byte
+    rank0 = segments.cumsum(sz_f) - sz_f  # rank of each span's 1st byte
     c = (starts - rank0).astype(jnp.int32)
-    # compact the valid spans' (c, rank0) into span order (nS is small)
-    vpos = jnp.cumsum(okf.astype(jnp.int32)) - 1
-    tgt = jnp.where(okf, vpos, nS - 1)
-    cc = jnp.zeros(nS, jnp.int32).at[tgt].set(jnp.where(okf, c, 0))
-    rr = jnp.zeros(nS, jnp.int32).at[tgt].set(jnp.where(okf, rank0, 0))
-    nv = jnp.sum(okf.astype(jnp.int32))
+    # valid spans' (c, rank0) in span order: a compaction, not a scatter
+    (cc, rr), k0v = shift_compact.compact_arrays(okf, [c, rank0])
+    nv = k0v[-1]
     iv = jnp.arange(nS, dtype=jnp.int32)
     dlt = jnp.where(iv < nv, cc - jnp.where(iv > 0, jnp.roll(cc, 1), 0), 0)
-    dist = segments.cumsum(
-        jnp.zeros(dom + 1, jnp.int32)
-        .at[jnp.where(iv < nv, jnp.minimum(rr, dom), dom)]
-        .add(dlt)[:dom]
-    )
+    # rr is strictly increasing over the valid prefix (spans have
+    # nonzero sizes): place the telescoping deltas by sorted-scatter
+    okd = iv < nv
+    if nS >= ROUTE_MIN and not use_interpret_mode():
+        dplane, _ = scatter_sorted(okd, jnp.minimum(rr, dom), dlt, dom + 1)
+    else:
+        dplane = jnp.zeros(dom + 1, jnp.int32).at[
+            jnp.where(okd, jnp.minimum(rr, dom), dom)
+        ].add(dlt)
+    dist = segments.cumsum(dplane[:dom])
     live = jnp.arange(dom, dtype=jnp.int32) < total_live
     (plane,), _ = shift_compact.expand_to(live, dist, [stream], out_cap)
     return plane

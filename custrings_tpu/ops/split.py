@@ -309,15 +309,21 @@ def _delim_extents_stream(
     tok_off = cumsum0(counts)
     dof = cumsum0(dpr)
     q = jnp.arange(tcap, dtype=jnp.int32)
-    r_q = row_ids_from_offsets(dof, tcap)
-    k_q = q - dof[r_q]
+    # row values broadcast over the delimiter domain as segment
+    # broadcasts (delta scatter + linear prefix) — X[r_q] element
+    # gathers cost ~1.2 s each per 140M tokens at the 4M tier
+    def dbcast(v):
+        return segments.broadcast_rows_to_bytes(v, dof, tcap)
+
+    dof_b = dbcast(dof[:-1])
+    k_q = q - dof_b
     if from_right:
         # quota consumes the RIGHTMOST delimiters
-        u_rank = k_q - (dpr[r_q] - used[r_q])
+        u_rank = k_q - dbcast(dpr - used)
     else:
         u_rank = k_q
-    live = (q < dof[-1]) & (u_rank >= 0) & (u_rank < used[r_q])
-    t_end = tok_off[r_q] + u_rank  # slot whose token ENDS at this delim
+    live = (q < dof[-1]) & (u_rank >= 0) & (u_rank < dbcast(used))
+    t_end = dbcast(tok_off[:-1]) + u_rank  # slot whose token ends here
     # compact the USED delimiters first: with maxsplit quotas the dropped
     # delimiters make t_end - q non-monotone; over consecutive ranks the
     # expand distance t_end - rank is nondecreasing unconditionally
