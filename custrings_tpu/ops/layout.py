@@ -63,6 +63,74 @@ def is_ascii(col: StringColumn) -> bool:
     return c["is_ascii"]
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _row_planes_impl(offsets, capacity: int):
+    from . import segments
+
+    return (
+        segments.row_start_positions(offsets, capacity),
+        segments.row_end_positions(offsets, capacity),
+    )
+
+
+def row_bounds_planes(col: StringColumn):
+    """(row_start, row_end) int32[capacity] planes, memoized per column.
+
+    The reference precomputes a custring_view per string once per column
+    (NVStringsImpl.cu) and every kernel reads it; the TPU analogue is the
+    byte->row-bounds planes.  Computing them costs two linear scans
+    (~40 ms at the 1M tier) — memoizing turns every later op on the same
+    column into pure fused elementwise work.  Falls back to inline
+    computation for traced columns (inside a caller's jit)."""
+    if isinstance(col.offsets, jax.core.Tracer) or isinstance(
+        col.data, jax.core.Tracer
+    ):
+        from . import segments
+
+        return (
+            segments.row_start_positions(col.offsets, col.capacity),
+            segments.row_end_positions(col.offsets, col.capacity),
+        )
+    c = _cache(col)
+    if "row_bounds" not in c:
+        c["row_bounds"] = _row_planes_impl(col.offsets, col.capacity)
+    return c["row_bounds"]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _valid_rows_plane_impl(validity, offsets, capacity: int):
+    from . import segments
+
+    return (
+        segments.broadcast_rows_to_bytes(
+            validity.astype(jnp.int32), offsets, capacity
+        )
+        == 1
+    )
+
+
+def valid_rows_plane(col: StringColumn):
+    """bool[capacity]: byte j's ROW is valid — the per-column validity
+    broadcast, memoized like row_bounds_planes (one linear scan)."""
+    if isinstance(col.offsets, jax.core.Tracer) or isinstance(
+        col.validity, jax.core.Tracer
+    ):
+        from . import segments
+
+        return (
+            segments.broadcast_rows_to_bytes(
+                col.validity.astype(jnp.int32), col.offsets, col.capacity
+            )
+            == 1
+        )
+    c = _cache(col)
+    if "valid_rows" not in c:
+        c["valid_rows"] = _valid_rows_plane_impl(
+            col.validity, col.offsets, col.capacity
+        )
+    return c["valid_rows"]
+
+
 @dataclasses.dataclass(frozen=True)
 class CharMap:
     """Column-wide character index structures (all shapes static).

@@ -195,14 +195,21 @@ def run_ragged(body_fn, col, *args, static_args=()) -> TokenColumn:
 
 
 def _delim_body(
-    col: StringColumn, tcap, delim: str, maxsplit: int, from_right: bool
+    col: StringColumn,
+    tcap,
+    delim: str,
+    maxsplit: int,
+    from_right: bool,
+    row_end=None,
+    vbytes=None,
 ):
     pat_b = delim.encode("utf-8")
     m = len(pat_b)
     p = jnp.asarray(list(pat_b), jnp.uint8)
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    row_end = segments.row_end_positions(col.offsets, cap)
+    if row_end is None:
+        row_end = segments.row_end_positions(col.offsets, cap)
     match = (
         _match_mask(col.data, p)
         & (j + m <= row_end)
@@ -254,7 +261,13 @@ def _delim_body(
 
 
 def _delim_extents_stream(
-    col: StringColumn, tcap, delim: str, maxsplit: int, from_right: bool
+    col: StringColumn,
+    tcap,
+    delim: str,
+    maxsplit: int,
+    from_right: bool,
+    row_end=None,
+    vbytes=None,
 ):
     """_delim_body's (counts, starts, ends) contract with NO capacity-
     sized int32 planes past the delimiter compaction.
@@ -278,7 +291,8 @@ def _delim_extents_stream(
     p = jnp.asarray(list(pat_b), jnp.uint8)
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    row_end = segments.row_end_positions(col.offsets, cap)
+    if row_end is None:
+        row_end = segments.row_end_positions(col.offsets, cap)
     match = (
         _match_mask(col.data, p)
         & (j + m <= row_end)
@@ -291,9 +305,12 @@ def _delim_extents_stream(
         picked = jnp.roll(jnp.flip(picked_rev), -(m - 1))
     else:
         picked = _greedy_select(match, m, bordered)
-    vb = segments.broadcast_rows_to_bytes(
-        col.validity.astype(jnp.int32), col.offsets, cap
-    ) == 1
+    vb = vbytes if vbytes is not None else (
+        segments.broadcast_rows_to_bytes(
+            col.validity.astype(jnp.int32), col.offsets, cap
+        )
+        == 1
+    )
     (dpos_full,), k0d = shift_compact.compact_arrays(picked & vb, [j])
 
     dpr = k0d[col.offsets[1:]] - k0d[col.offsets[:-1]]
@@ -502,8 +519,17 @@ def _delim_split(
             jnp.ones(total_tokens, jnp.bool_),
         )
         return TokenColumn(tokens, tok_off, col.validity)
+    # over-threshold: the ragged driver re-runs the body for counts and
+    # extents — hand it the memoized per-column planes so neither phase
+    # pays the row-bounds / validity-broadcast scans
+    rb = layout.row_bounds_planes(col)
+    vbytes = layout.valid_rows_plane(col)
     return run_ragged(
-        _delim_body, col, static_args=(delim, maxsplit, from_right)
+        _delim_body,
+        col,
+        rb[1],
+        vbytes,
+        static_args=(delim, maxsplit, from_right),
     )
 
 

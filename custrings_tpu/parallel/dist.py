@@ -623,9 +623,12 @@ def distributed_replace(
     bcap = int(data_sh.shape[1])
 
     def body(d, o, v):
+        from ..ops import layout as _layout
+
         col = StringColumn(d[0], o[0], v[0])
+        rb = _layout.row_bounds_planes(col)
         data, out_off = _replace_full(
-            col, p, r, m, rl, bordered, -1, bcap
+            col, rb, p, r, m, rl, bordered, -1, bcap
         )
         return data[None], out_off[None]
 

@@ -160,8 +160,13 @@ class ShardedStringColumn:
         )
 
         def body(d, o, v, a):
+            from ..ops import layout as _layout
+
             col = StringColumn(d[0], o[0], v[0])
-            data, out_off = _replace_full(col, p, r, m, rl, bordered, -1, bcap)
+            rb = _layout.row_bounds_planes(col)
+            data, out_off = _replace_full(
+                col, rb, p, r, m, rl, bordered, -1, bcap
+            )
             return data[None], out_off[None]
 
         fn = jax.jit(
