@@ -86,9 +86,10 @@ def build_resident_loop(
     na_rows = layout.row_nonascii_ids(col)
     cat_width, cat_full, cat_ucap = _settled_category_width(col)
     split_static = (delim, -1, False)
+    rb = layout.row_bounds_planes(col)
 
-    @partial(jax.jit, static_argnums=(3,))
-    def loop(data, offsets, validity, K: int):
+    @partial(jax.jit, static_argnums=(5,))
+    def loop(data, offsets, validity, row_start, row_end, K: int):
         def body(i, carry):
             d, acc = carry
             d = jax.lax.optimization_barrier(d)
@@ -99,7 +100,7 @@ def build_resident_loop(
             hits = rx.contains_re(c, pattern)
             # -- replace (literal, shrink-safe) -------------------------
             rdata, roffs = modify._replace_full(
-                c, p, r, m, rl, bordered, -1, bcap
+                c, (row_start, row_end), p, r, m, rl, bordered, -1, bcap
             )
             # -- split_record -------------------------------------------
             sdata, tok_off, byte_off = split._delim_full_bd(
@@ -125,8 +126,8 @@ def build_resident_loop(
                 + tok_off[-1]
                 + byte_off[-1]
                 + jnp.sum(values)
-                + rdata[0].astype(jnp.int32)
-                + sdata[0].astype(jnp.int32)
+                + jax.lax.optimization_barrier(rdata)[0].astype(jnp.int32)
+                + jax.lax.optimization_barrier(sdata)[0].astype(jnp.int32)
             )
             return d, acc
         _, acc = jax.lax.fori_loop(
@@ -134,7 +135,7 @@ def build_resident_loop(
         )
         return acc
 
-    return loop, (col.data, col.offsets, col.validity)
+    return loop, (col.data, col.offsets, col.validity, rb[0], rb[1])
 
 
 def measure(lines, K: int = 24):
@@ -198,12 +199,16 @@ def build_op_loop(col: StringColumn, which: str):
     # (split.run_ragged over-threshold path): exact token/byte caps are
     # learned once on host, then extents + write run with static shapes
     split_big = col.capacity + col.size > (1 << 28)
+    rb = layout.row_bounds_planes(col)
+    vbp = layout.valid_rows_plane(col)
     if which == "split" and split_big:
         tok_exact = int(jax.device_get(split._ragged_counts(
-            col, split._delim_extents_stream, (" ", -1, False))))
+            col, split._delim_extents_stream, (" ", -1, False),
+            rb[1], vbp)))
         tcap_x = bucket_bytes(tok_exact)
         _, _, byte_off0 = split._ragged_extents(
-            col, split._delim_extents_stream, (" ", -1, False), tcap_x)
+            col, split._delim_extents_stream, (" ", -1, False), tcap_x,
+            rb[1], vbp)
         bcap_x = bucket_bytes(int(jax.device_get(byte_off0[-1])))
     if which == "categorize":
         cat_width, cat_full, cat_ucap = _settled_category_width(col)
@@ -212,8 +217,8 @@ def build_op_loop(col: StringColumn, which: str):
     dp_safe = rx.get_program(r"(\w+)@(\w+)")   # longest_safe=True
     dp_ambig = rx.get_program(r"the|that")      # longest_safe=False
 
-    @partial(jax.jit, static_argnums=(3,))
-    def loop(data, offsets, validity, K: int):
+    @partial(jax.jit, static_argnums=(6,))
+    def loop(data, offsets, validity, row_start, row_end, vbp, K: int):
         def body(i, carry):
             d, acc = carry
             d = jax.lax.optimization_barrier(d)
@@ -226,17 +231,21 @@ def build_op_loop(col: StringColumn, which: str):
             elif which == "charmatrix":
                 layout._cache(c)["max_row_bytes"] = cm_width
                 chars, nch = layout.char_matrix(c, cm_width)
+                chars = jax.lax.optimization_barrier(chars)
                 acc = acc + chars[0, 0] + nch[0]
             elif which == "replace":
                 rdata, roffs = modify._replace_full(
-                    c, p, r, 3, 3, bordered, -1, bcap
+                    c, (row_start, row_end), p, r, 3, 3, bordered, -1, bcap
                 )
+                # barrier: a fully elementwise op would otherwise be
+                # DCE'd/sliced to one output element by XLA
+                rdata = jax.lax.optimization_barrier(rdata)
                 acc = acc + roffs[-1] + rdata[0].astype(jnp.int32)
             elif which == "split":
                 if split_big:
                     tok_off, starts, byte_off = split._ragged_extents(
                         c, split._delim_extents_stream, (" ", -1, False),
-                        tcap_x,
+                        tcap_x, row_end, vbp,
                     )
                     sdata = split._ragged_write(
                         c, starts, byte_off, bcap_x
@@ -247,7 +256,7 @@ def build_op_loop(col: StringColumn, which: str):
                     )
                 acc = (
                     acc + tok_off[-1] + byte_off[-1]
-                    + sdata[0].astype(jnp.int32)
+                    + jax.lax.optimization_barrier(sdata)[0].astype(jnp.int32)
                 )
             elif which == "categorize":
                 if cat_ucap >= 0:
@@ -284,7 +293,7 @@ def build_op_loop(col: StringColumn, which: str):
         )
         return acc
 
-    return loop, (col.data, col.offsets, col.validity)
+    return loop, (col.data, col.offsets, col.validity, rb[0], rb[1], vbp)
 
 
 def measure_ops(lines, K: int = 16, ops=None):
