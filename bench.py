@@ -122,12 +122,29 @@ def _op_bytes(lines, which: str) -> float:
         "charmatrix": cap * 2.0,
         "contains": cap * 1.0,
         "replace": cap * 2.0,
+        "replace_grow": cap * 2.0,
         "split": cap * 2.0 + 8.0 * ntok,
         "categorize": 2.0 * n * min(64, max(len(s.encode()) for s in lines)),
         "spans_safe": cap * 1.0,
         "spans_ambig": cap * 1.0,
         "pipeline": cap * 6.0 + 8.0 * ntok,
     }[which]
+
+
+def _tier_cleanup():
+    """Free everything a finished tier can pin before the next tier
+    allocates: python garbage (dead columns + their memoized planes) and
+    the jit caches, whose executables hold device constants.  Recompiles
+    in the next tier reload from the persistent disk cache.  Round-4's
+    driver bench OOMed the 4M tier after the 16k+1M tiers had run in the
+    same process (VERDICT r4 'what's missing' #3)."""
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
 
 
 def _tier(lines, K_pipe: int, K_ops: int, ops=None):
@@ -139,14 +156,17 @@ def _tier(lines, K_pipe: int, K_ops: int, ops=None):
     # cost the per-op evidence
     ops_out = {}
     for which, sec in per_op.items():
-        if isinstance(sec, Exception):  # per-op failure recorded, not fatal
-            ops_out[which] = {"error": f"{type(sec).__name__}: {sec}"[:200]}
+        if isinstance(sec, (Exception, str)):  # per-op failure, not fatal
+            msg = sec if isinstance(sec, str) else f"{type(sec).__name__}: {sec}"
+            ops_out[which] = {"error": msg[:200]}
             continue
         if sec < 2e-4:
             # below the relay timing noise floor (the fused one-pass ops
             # at the 16k tier finish in tens of us): record the bound
-            # honestly instead of a noise-divided GB/s
-            ops_out[which] = {"ms": round(sec * 1e3, 3),
+            # honestly instead of a noise-divided GB/s.  GBps/roofline
+            # stay present (null) so per-op records keep one schema.
+            ops_out[which] = {"ms": round(sec * 1e3, 3), "GBps": None,
+                              "roofline_pct": None,
                               "below_noise_floor": True}
             continue
         gbps = _op_bytes(lines, which) / sec / 1e9
@@ -197,15 +217,18 @@ def main():
     tier1m = None
     vs_pd_1m = None
     if os.environ.get("CUSTRINGS_BENCH_1M", "1") != "0":
+        _tier_cleanup()
         try:
             lines1m = load_corpus(1 << 20)
             # round 4: the 1M tier also runs the spans engines
             # (VERDICT r3 item 4) — findall/extract/replace_re all ride
-            # these paths
+            # these paths.  replace_grow is the size-changing literal
+            # replace (VERDICT r4 item 4): the routing writers, not the
+            # same-length elementwise fast path.
             _res1m, tier1m = _tier(
                 lines1m, K_pipe=4, K_ops=3,
-                ops=["charmatrix", "contains", "replace", "split",
-                     "categorize", "spans_safe", "spans_ambig"],
+                ops=["charmatrix", "contains", "replace", "replace_grow",
+                     "split", "categorize", "spans_safe", "spans_ambig"],
             )
             if _res1m is not None:
                 vs_pd_1m = round(
@@ -213,6 +236,7 @@ def main():
                     3,
                 )
                 tier1m["vs_baseline"] = vs_pd_1m
+            del lines1m
         except Exception as e:  # 1M tier must not kill the headline
             tier1m = {"error": f"{type(e).__name__}: {e}"[:200]}
 
@@ -221,37 +245,87 @@ def main():
     # rows/s is its own headline there (BASELINE's metric definition).
     tier4m = None
     if os.environ.get("CUSTRINGS_BENCH_4M", "1") != "0":
+        _tier_cleanup()
         try:
             lines4m = load_corpus(1 << 22)
             _res4m, tier4m = _tier(
                 lines4m, K_pipe=0, K_ops=2,
-                ops=["charmatrix", "contains", "replace", "split",
-                     "categorize"],
+                ops=["charmatrix", "contains", "replace", "replace_grow",
+                     "split", "categorize"],
             )
             cat = tier4m.get("per_op", {}).get("categorize", {})
             if "ms" in cat:
                 tier4m["categorize_rows_per_sec"] = round(
                     (1 << 22) / (cat["ms"] / 1e3), 1
                 )
+            del lines4m
         except Exception as e:
             tier4m = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "strings_per_sec_chip_resident",
-                "value": round(res["strings_per_sec"], 1),
-                "unit": "strings/s device-resident (split+regex+replace+categorize)",
-                "vs_baseline": round(dt_pd / res["sec_per_iter"], 3),
-                "e2e_relay_strings_per_sec": round(ops * len(lines) / dt_e2e, 1),
-                "e2e_relay_vs_baseline": round(dt_pd / dt_e2e, 3),
-                "tier_16k": tier16,
-                "tier_1m": tier1m,
-                "tier_4m": tier4m,
-                "note": "vs_baseline = pandas Series.str wall time / device-resident time; per-op GBps = logical bytes (bench._op_bytes) / resident time; roofline_pct vs 819 GB/s v5e HBM; e2e_* includes the axon relay transport (~13 MB/s tunnel, BASELINE.md)",
-            }
-        )
-    )
+    full = {
+        "metric": "strings_per_sec_chip_resident",
+        "value": round(res["strings_per_sec"], 1),
+        "unit": "strings/s device-resident (split+regex+replace+categorize)",
+        "vs_baseline": round(dt_pd / res["sec_per_iter"], 3),
+        "e2e_relay_strings_per_sec": round(ops * len(lines) / dt_e2e, 1),
+        "e2e_relay_vs_baseline": round(dt_pd / dt_e2e, 3),
+        "tier_16k": tier16,
+        "tier_1m": tier1m,
+        "tier_4m": tier4m,
+        "note": "vs_baseline = pandas Series.str wall time / device-resident time; per-op GBps = logical bytes (bench._op_bytes) / resident time; roofline_pct vs 819 GB/s v5e HBM; e2e_* includes the axon relay transport (~13 MB/s tunnel, BASELINE.md)",
+    }
+    # Full detail first (and to a file), compact headline LAST: the
+    # driver records only the final ~2000 chars of output, and round-4's
+    # one-line dump lost the headline to the truncation (VERDICT r4
+    # weak #6).
+    full_line = json.dumps(full)
+    print(full_line)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full.json"), "w"
+        ) as f:
+            f.write(full_line + "\n")
+    except OSError:
+        pass
+
+    def _brief(tier):
+        if not isinstance(tier, dict):
+            return tier
+        if "error" in tier:
+            return {"error": tier["error"][:80]}
+        out = {}
+        for op, rec in tier.get("per_op", {}).items():
+            if "error" in rec:
+                out[op] = "ERR"
+            elif rec.get("GBps") is not None:
+                out[op] = rec["GBps"]
+            else:
+                out[op] = f"{rec['ms']}ms"
+        if "pipeline_GBps" in tier:
+            out["pipeline"] = tier["pipeline_GBps"]
+        if "categorize_rows_per_sec" in tier:
+            out["cat_rows_s"] = tier["categorize_rows_per_sec"]
+        if "vs_baseline" in tier:
+            out["vs_pd"] = tier["vs_baseline"]
+        return out
+
+    headline = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "strings/s (resident; tiers=GB/s per op)",
+        "vs_baseline": full["vs_baseline"],
+        "e2e_relay_vs_baseline": full["e2e_relay_vs_baseline"],
+        "tier_16k_GBps": _brief(tier16),
+        "tier_1m_GBps": _brief(tier1m),
+        "tier_4m_GBps": _brief(tier4m),
+        "detail": "BENCH_full.json",
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:  # stay under the driver's tail cap, whole
+        headline.pop("tier_16k_GBps")
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,28 @@ def _cache(col: StringColumn) -> dict:
     return c
 
 
+#: Capacity (bytes) above which the per-column byte planes (row bounds,
+#: validity broadcast) are NOT memoized on the column: the two int32 +
+#: one bool plane cost ~9 bytes of HBM per capacity byte, so an 800 MB
+#: column would pin ~7.2 GB for its lifetime — the round-4 driver bench
+#: exhausted 16 GB HBM on a 0.9 GB corpus through exactly this cache
+#: (ADVICE r4 medium).  Above the budget, consumers call the plane
+#: helpers INSIDE their jitted programs (tracer path below), where the
+#: scans fuse into the op and the planes live only as transients.
+import os as _os
+
+PLANE_CACHE_BUDGET = int(
+    _os.environ.get("CUSTRINGS_PLANE_BUDGET", 1 << 29)
+)
+
+
+def planes_cacheable(col: StringColumn) -> bool:
+    """True when the column's capacity is under the plane-cache budget
+    (callers outside jit should pass planes=None above it and let the
+    jitted op compute them inline)."""
+    return col.capacity <= PLANE_CACHE_BUDGET
+
+
 def valid_byte_mask(col: StringColumn) -> jax.Array:
     """bool[capacity]: True for real (non-padding) byte positions."""
     j = jnp.arange(col.capacity, dtype=jnp.int32)
@@ -81,9 +103,13 @@ def row_bounds_planes(col: StringColumn):
     byte->row-bounds planes.  Computing them costs two linear scans
     (~40 ms at the 1M tier) — memoizing turns every later op on the same
     column into pure fused elementwise work.  Falls back to inline
-    computation for traced columns (inside a caller's jit)."""
-    if isinstance(col.offsets, jax.core.Tracer) or isinstance(
-        col.data, jax.core.Tracer
+    computation for traced columns (inside a caller's jit) and for
+    columns over PLANE_CACHE_BUDGET (no memoization: the planes would
+    otherwise pin ~8x capacity of HBM for the column's lifetime)."""
+    if (
+        isinstance(col.offsets, jax.core.Tracer)
+        or isinstance(col.data, jax.core.Tracer)
+        or not planes_cacheable(col)
     ):
         from . import segments
 
@@ -111,9 +137,12 @@ def _valid_rows_plane_impl(validity, offsets, capacity: int):
 
 def valid_rows_plane(col: StringColumn):
     """bool[capacity]: byte j's ROW is valid — the per-column validity
-    broadcast, memoized like row_bounds_planes (one linear scan)."""
-    if isinstance(col.offsets, jax.core.Tracer) or isinstance(
-        col.validity, jax.core.Tracer
+    broadcast, memoized like row_bounds_planes (one linear scan; same
+    PLANE_CACHE_BUDGET gate)."""
+    if (
+        isinstance(col.offsets, jax.core.Tracer)
+        or isinstance(col.validity, jax.core.Tracer)
+        or not planes_cacheable(col)
     ):
         from . import segments
 
@@ -129,6 +158,44 @@ def valid_rows_plane(col: StringColumn):
             col.validity, col.offsets, col.capacity
         )
     return c["valid_rows"]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _tail_plane_impl(offsets, validity, capacity: int):
+    from . import segments
+
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    row_end = segments.row_end_positions(offsets, capacity)
+    vb = (
+        segments.broadcast_rows_to_bytes(
+            validity.astype(jnp.int32), offsets, capacity
+        )
+        == 1
+    )
+    rem = jnp.clip(row_end - j, 0, 255)
+    return jnp.where(vb & (j < offsets[-1]), rem, 0).astype(jnp.uint8)
+
+
+def tail_plane(col: StringColumn) -> jax.Array:
+    """uint8[capacity]: bytes remaining in the byte's VALID row from this
+    position (clipped at 255); 0 for padding bytes and null-row bytes.
+
+    The one-plane custring_view analogue: for any pattern length m <=
+    255, `tail >= m` fuses the row fence (j + m <= row_end), the
+    valid-byte test, and the row-validity broadcast into ONE u8 compare
+    — at 1/9 the HBM cost of the int32 row-bounds pair, so it stays
+    memoized at ANY capacity (1 byte per capacity byte; the 4M tier
+    pins 0.9 GB instead of 8.1 GB)."""
+    if isinstance(col.offsets, jax.core.Tracer) or isinstance(
+        col.validity, jax.core.Tracer
+    ):
+        return _tail_plane_impl(col.offsets, col.validity, col.capacity)
+    c = _cache(col)
+    if "tail" not in c:
+        c["tail"] = _tail_plane_impl(
+            col.offsets, col.validity, col.capacity
+        )
+    return c["tail"]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,6 +76,8 @@ def _replace_plan(col: StringColumn, rbounds, p, m: int, bordered: bool, n: int)
     on one column pay the two scans once."""
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
+    if rbounds is None:  # over-budget column: planes fuse into this jit
+        rbounds = layout.row_bounds_planes(col)
     row_start, row_end = rbounds
     match = (
         _match_mask(col.data, p)
@@ -221,23 +223,30 @@ def _small_lookup(r, off, rl: int):
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))
-def _replace_same_len(col, row_end, p, r, m: int, bordered: bool, n: int):
+def _replace_same_len(col, tail, p, r, m: int, bordered: bool, n: int):
     """rl == m: offsets are unchanged and the write is pure elementwise
     substitution — no scatter, no gather, no new offsets.
 
-    With the precomputed row_end plane and a small pattern (m <= 8), the
-    whole op is ONE fused elementwise pass: picked matches cannot overlap
+    With the precomputed tail plane (layout.tail_plane: u8 bytes-left-
+    in-row, validity folded in) and a small pattern (m <= 8), the whole
+    op is ONE fused elementwise pass: picked matches cannot overlap
     (greedy selection / border-free property), so the covering-match
     offset is an exact m-way rolled select instead of a running-max scan
     (measured 68.7 -> ~5 ms at the 1M tier; the two linear-scan kernels
     were the entire cost)."""
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    match = (
-        _match_mask(col.data, p)
-        & (j + m <= row_end)
-        & layout.valid_byte_mask(col)
-    )
+    if m > 255:  # tail plane saturates at 255: use the int32 fence
+        row_end = layout.row_bounds_planes(col)[1]
+        match = (
+            _match_mask(col.data, p)
+            & (j + m <= row_end)
+            & layout.valid_byte_mask(col)
+        )
+    else:
+        if tail is None:  # traced/uncached column: fuses into this jit
+            tail = layout.tail_plane(col)
+        match = _match_mask(col.data, p) & (tail >= m)
     picked = _greedy_select(match, m, bordered)
     if n >= 0:
         pk0 = jnp.concatenate(
@@ -270,7 +279,7 @@ def _replace_full(
     """Single fused program: plan + write (keeps all intermediates inside
     one XLA program — cross-program buffers are costly on the relay)."""
     if rl == m and bcap == col.capacity:
-        return _replace_same_len(col, rbounds[1], p, r, m, bordered, n)
+        return _replace_same_len(col, None, p, r, m, bordered, n)
     plan = _replace_plan(col, rbounds, p, m, bordered, n)
     return _replace_write(col, plan, r, m, rl, bcap)
 
@@ -294,8 +303,18 @@ def replace_literal(
     bordered = _has_border(pat_b)
     from ..column import BOUND_SYNC_THRESHOLD
 
-    rbounds = layout.row_bounds_planes(col)
-    if rl == m or (rl < m and col.capacity <= BOUND_SYNC_THRESHOLD):
+    if rl == m:
+        # same length: ONE fused elementwise pass off the memoized u8
+        # tail plane (cacheable at any capacity)
+        tail = layout.tail_plane(col) if m <= 255 else None
+        data, offs = _replace_same_len(col, tail, p, r, m, bordered, n)
+        return StringColumn(data, offs, col.validity)
+    # over PLANE_CACHE_BUDGET the planes are not materialized host-side;
+    # the jitted programs compute them inline (they fuse and die there)
+    rbounds = (
+        layout.row_bounds_planes(col) if layout.planes_cacheable(col) else None
+    )
+    if rl < m and col.capacity <= BOUND_SYNC_THRESHOLD:
         # same length: the size CANNOT change (elementwise fast path at
         # any scale); shrink-only under the sync threshold: allocate at
         # input capacity and skip the sync

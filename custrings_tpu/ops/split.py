@@ -194,27 +194,47 @@ def run_ragged(body_fn, col, *args, static_args=()) -> TokenColumn:
     return TokenColumn(tokens, tok_off, col.validity)
 
 
+def _row_fenced_match(col, p, m: int, tail):
+    """Delimiter-match mask with the row fence, valid-byte test, and row
+    VALIDITY folded in (null rows may still own bytes: their delimiters
+    must not reach the slot scatters — counts give them zero slots, so a
+    null row's token base aliases the next valid row's first slot).  One
+    u8 compare off the tail plane (layout.tail_plane) for m <= 255."""
+    if m <= 255:
+        if tail is None:
+            tail = layout.tail_plane(col)
+        return _match_mask(col.data, p) & (tail >= m)
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    row_end = segments.row_end_positions(col.offsets, cap)
+    vb = (
+        segments.broadcast_rows_to_bytes(
+            col.validity.astype(jnp.int32), col.offsets, cap
+        )
+        == 1
+    )
+    return (
+        _match_mask(col.data, p)
+        & (j + m <= row_end)
+        & layout.valid_byte_mask(col)
+        & vb
+    )
+
+
 def _delim_body(
     col: StringColumn,
     tcap,
     delim: str,
     maxsplit: int,
     from_right: bool,
-    row_end=None,
-    vbytes=None,
+    tail=None,
 ):
     pat_b = delim.encode("utf-8")
     m = len(pat_b)
     p = jnp.asarray(list(pat_b), jnp.uint8)
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    if row_end is None:
-        row_end = segments.row_end_positions(col.offsets, cap)
-    match = (
-        _match_mask(col.data, p)
-        & (j + m <= row_end)
-        & layout.valid_byte_mask(col)
-    )
+    match = _row_fenced_match(col, p, m, tail)
     bordered = _has_border(pat_b)
     if from_right and bordered:
         # greedy right-to-left: mirror buffer so the cover-scan runs l-to-r
@@ -266,8 +286,7 @@ def _delim_extents_stream(
     delim: str,
     maxsplit: int,
     from_right: bool,
-    row_end=None,
-    vbytes=None,
+    tail=None,
 ):
     """_delim_body's (counts, starts, ends) contract with NO capacity-
     sized int32 planes past the delimiter compaction.
@@ -291,13 +310,7 @@ def _delim_extents_stream(
     p = jnp.asarray(list(pat_b), jnp.uint8)
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    if row_end is None:
-        row_end = segments.row_end_positions(col.offsets, cap)
-    match = (
-        _match_mask(col.data, p)
-        & (j + m <= row_end)
-        & layout.valid_byte_mask(col)
-    )
+    match = _row_fenced_match(col, p, m, tail)
     bordered = _has_border(pat_b)
     if from_right and bordered:
         revm = jnp.roll(jnp.flip(match), -(m - 1))
@@ -305,13 +318,7 @@ def _delim_extents_stream(
         picked = jnp.roll(jnp.flip(picked_rev), -(m - 1))
     else:
         picked = _greedy_select(match, m, bordered)
-    vb = vbytes if vbytes is not None else (
-        segments.broadcast_rows_to_bytes(
-            col.validity.astype(jnp.int32), col.offsets, cap
-        )
-        == 1
-    )
-    (dpos_full,), k0d = shift_compact.compact_arrays(picked & vb, [j])
+    (dpos_full,), k0d = shift_compact.compact_arrays(picked, [j])
 
     dpr = k0d[col.offsets[1:]] - k0d[col.offsets[:-1]]
     allowed = maxsplit if maxsplit > 0 else _INF
@@ -406,12 +413,7 @@ def _delim_full_bd(
     p = jnp.asarray(list(pat_b), jnp.uint8)
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    row_end = segments.row_end_positions(col.offsets, cap)
-    match = (
-        _match_mask(col.data, p)
-        & (j + m <= row_end)
-        & layout.valid_byte_mask(col)
-    )
+    match = _row_fenced_match(col, p, m, None)
     bordered = _has_border(pat_b)
     if from_right and bordered:
         revm = jnp.roll(jnp.flip(match), -(m - 1))
@@ -520,15 +522,13 @@ def _delim_split(
         )
         return TokenColumn(tokens, tok_off, col.validity)
     # over-threshold: the ragged driver re-runs the body for counts and
-    # extents — hand it the memoized per-column planes so neither phase
-    # pays the row-bounds / validity-broadcast scans
-    rb = layout.row_bounds_planes(col)
-    vbytes = layout.valid_rows_plane(col)
+    # extents — hand it the memoized u8 tail plane (fence + validity in
+    # one compare; cacheable at ANY capacity, 1 byte per capacity byte)
+    tail = layout.tail_plane(col) if m <= 255 else None
     return run_ragged(
         _delim_body,
         col,
-        rb[1],
-        vbytes,
+        tail,
         static_args=(delim, maxsplit, from_right),
     )
 

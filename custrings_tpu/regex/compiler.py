@@ -347,6 +347,12 @@ class Program:
     # greedy quantifier (loop/take branch has priority and is the longer
     # path) and there is no '|' alternation or lazy quantifier.
     longest_safe: bool = False
+    # True when, for any fixed begin position and text, at most ONE match
+    # end exists (certified for quantifier-free group-free alternations of
+    # simple sequences with pairwise prefix-incompatible branches, e.g.
+    # `the|that`).  Priority semantics == leftmost-longest == leftmost-
+    # anything for such patterns, so the bit-parallel span engines apply.
+    end_unique: bool = False
 
     @property
     def n_insts(self) -> int:
@@ -486,6 +492,81 @@ class _Builder:
         self.lastwasand = True
 
 
+def _char_in_class(c: int, tok, classes) -> bool:
+    """EXACT membership of codepoint c in a class token (host-side; used
+    by the end-unique certifier, which must only claim DISJOINT when
+    provably so).  Mirrors device.class_match_table semantics."""
+    cls = classes[tok.cls]
+    hit = False
+    for k in range(0, len(cls.ranges), 2):
+        if cls.ranges[k] <= c <= cls.ranges[k + 1]:
+            hit = True
+    if cls.builtins and c < 65536:
+        from ..unicode.tables import (
+            FLAG_ALPHANUM,
+            FLAG_DIGIT,
+            FLAG_SPACE,
+            host_tables,
+        )
+
+        flags, _ = host_tables()
+        f = int(flags[c])
+        is_w = bool(f & FLAG_ALPHANUM) or c == ord("_")
+        is_s = bool(f & FLAG_SPACE)
+        is_d = bool(f & FLAG_DIGIT)
+        if (cls.builtins & B_W) and is_w:
+            hit = True
+        if (cls.builtins & B_S) and is_s:
+            hit = True
+        if (cls.builtins & B_D) and is_d:
+            hit = True
+        if (cls.builtins & B_NW) and not is_w:
+            hit = True
+        if (cls.builtins & B_NS) and not is_s:
+            hit = True
+        if (cls.builtins & B_ND) and not is_d:
+            hit = True
+    if tok.t == NCCLASS:
+        return not hit
+    return hit
+
+
+def _certify_end_unique(tokens, classes) -> bool:
+    """Conservative end-uniqueness: the pattern is a top-level alternation
+    of plain consuming sequences (no quantifiers, groups, or anchors) and
+    no branch can match a proper PREFIX of what another branch matches.
+    Then any (begin, text) admits at most one match end, so priority,
+    leftmost-longest, and leftmost-shortest all coincide (`the|that`
+    qualifies; `a|ab` does not)."""
+    consuming = (CHAR, CCLASS, NCCLASS, ANY, ANYNL)
+    branches: list[list] = [[]]
+    for t in tokens:
+        if t.t == T_OR:
+            branches.append([])
+        elif t.t in consuming:
+            branches[-1].append(t)
+        else:
+            return False
+
+    def compat(a, b) -> bool:
+        # could tokens a and b accept a common char?  Err toward True.
+        if a.t == CHAR and b.t == CHAR:
+            return a.c == b.c
+        if a.t == CHAR and b.t in (CCLASS, NCCLASS):
+            return _char_in_class(a.c, b, classes)
+        if b.t == CHAR and a.t in (CCLASS, NCCLASS):
+            return _char_in_class(b.c, a, classes)
+        return True
+
+    for i, a in enumerate(branches):
+        for j, b in enumerate(branches):
+            if i != j and len(a) < len(b) and all(
+                compat(a[k], b[k]) for k in range(len(a))
+            ):
+                return False
+    return True
+
+
 def compile_pattern(pattern: str, dot_type: int = ANY) -> Program:
     lexer = _Lexer(pattern, dot_type)
     tokens = lexer.tokens()
@@ -503,6 +584,7 @@ def compile_pattern(pattern: str, dot_type: int = ANY) -> Program:
     ) and not any(
         t.t in (T_STAR, T_QUEST) for t in tokens[:-1]
     )
+    end_unique = _certify_end_unique(tokens, lexer.classes)
 
     b = _Builder()
     b.atorstack.append((T_START - 1, 0))
@@ -572,4 +654,5 @@ def compile_pattern(pattern: str, dot_type: int = ANY) -> Program:
         classes=lexer.classes,
         groups_count=b.cursubid,
         longest_safe=longest_safe,
+        end_unique=end_unique,
     )

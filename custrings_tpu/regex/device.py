@@ -630,6 +630,57 @@ class DeviceProgram:
             jnp.where(matched, best_e, -1).astype(jnp.int32),
         )
 
+    def _span_bits(self):
+        """Cached bit-parallel span executor, or None when the program
+        is not certified / the Pallas path is off (host-side routing)."""
+        if not hasattr(self, "_sbits"):
+            self._sbits = None
+            try:
+                import os
+
+                from ..config import use_interpret_mode
+                from .pallas_nfa import PallasNFA, pallas_supported
+                from .pallas_spans import SpanBits, span_bits_ok
+
+                flag = os.environ.get("CUSTRINGS_SPAN_BITS")
+                on = flag != "0" and (
+                    flag == "1" or not use_interpret_mode()
+                )
+                if (
+                    on
+                    and span_bits_ok(self.prog)
+                    and self.I <= 32
+                    and pallas_supported(self)
+                ):
+                    # first use may happen inside a caller's jit trace:
+                    # table construction must stay concrete
+                    with jax.ensure_compile_time_eval():
+                        self._sbits = SpanBits(PallasNFA(self))
+            except Exception:
+                self._sbits = None
+        return self._sbits
+
+    def spans_single(self, chars, lengths, start_pos, ascii: bool = False):
+        """First-match span router (returns matched bool, begin, end).
+
+        Bit-parallel two-pass (pallas_spans) for certified programs —
+        ~2x the boolean-NFA cost instead of the min-plus engine's ~26x;
+        min-plus for uncertified longest-safe cases (off-TPU), and the
+        ordered/DFS executors otherwise."""
+        sb = self._span_bits()
+        if sb is not None:
+            return sb.single(chars, lengths, start_pos, ascii)
+        if self.prog.longest_safe:
+            return self.nfa_spans(chars, lengths, start_pos, ascii)
+        N = chars.shape[0]
+        begins = jnp.broadcast_to(
+            jnp.asarray(start_pos, jnp.int32), (N,)
+        )
+        m, b, e = self.spans_exec(
+            chars, lengths, begins, jnp.full((N,), -1, jnp.int32), 0, ascii
+        )
+        return m > 0, b, e
+
     def spans_exec(self, chars, lengths, begins, ends, group_id: int,
                    ascii: bool = False):
         """Exact-span executor selector: the vectorized ordered-closure
@@ -1148,14 +1199,10 @@ class DeviceProgram:
 
         def body(state):
             r, begins, active, counts, B, E, GBE = state
-            if exact:
-                m, b, e = self.spans_exec(
-                    chars, lengths, begins, jnp.full((N,), -1, jnp.int32), 0,
-                    ascii,
-                )
-                m = m > 0
-            else:
-                m, b, e = self.nfa_spans(chars, lengths, begins, ascii)
+            # spans_single routes per program certification: bit-parallel
+            # two-pass (certified), min-plus (longest-safe), ordered
+            # otherwise — `exact` matches the prog-flag routing inside
+            m, b, e = self.spans_single(chars, lengths, begins, ascii)
             hit = active & m
             counts = counts + hit.astype(jnp.int32)
             # index pair must be same-dtype even if another op enabled x64

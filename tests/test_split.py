@@ -161,3 +161,42 @@ def test_delim_extents_stream_parity():
                 live[tok_off[r]:tok_off[r + 1]] = True
             assert not ((s1 != s2) & live).any(), (delim, ms, fr)
             assert not ((e1 != e2) & live).any(), (delim, ms, fr)
+
+
+def test_split_null_row_owning_bytes():
+    """A null row that still OWNS bytes (offsets advance across it) must
+    contribute no tokens and must not corrupt neighbors' slots — its
+    delimiter bytes previously scattered into the next valid row's token
+    slots (ADVICE r4: _delim_body ignored row validity)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from custrings_tpu.column import StringColumn, to_host_strings
+    from custrings_tpu.ops import split as sp
+
+    raw = b"a b|x, ,y|c d"
+    offsets = jnp.asarray(np.array([0, 3, 9, 13], np.int32))
+    validity = jnp.asarray(np.array([True, False, True]))
+    col = StringColumn(jnp.asarray(np.frombuffer(raw, np.uint8)), offsets, validity)
+    tc = sp.split_record(col, " ")
+    toks = to_host_strings(tc.tokens)
+    ro = np.asarray(tc.row_offsets)
+    got = [toks[ro[i]:ro[i + 1]] for i in range(3)]
+    assert got[0] == ["a", "b"]
+    assert got[1] == []
+    assert got[2] == ["|c", "d"]
+
+
+def test_tail_plane_semantics():
+    import numpy as np
+
+    import jax.numpy as jnp
+    from custrings_tpu.column import StringColumn
+    from custrings_tpu.ops import layout
+
+    raw = b"abcXXdef"
+    offsets = jnp.asarray(np.array([0, 3, 5, 8], np.int32))
+    validity = jnp.asarray(np.array([True, False, True]))
+    col = StringColumn(jnp.asarray(np.frombuffer(raw, np.uint8)), offsets, validity)
+    t = np.asarray(layout.tail_plane(col))
+    assert list(t) == [3, 2, 1, 0, 0, 3, 2, 1]
