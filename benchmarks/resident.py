@@ -303,9 +303,19 @@ def build_op_loop(col: StringColumn, which: str):
                 chars, nch = layout.char_matrix(c, cm_width)
                 zeros = jnp.zeros(chars.shape[0], jnp.int32)
                 # round 5: spans ride the router (bit-parallel two-pass
-                # when certified; min-plus / ordered engines otherwise)
+                # when certified; min-plus / ordered engines otherwise),
+                # with the same ascii-LUT + nonascii-row-patch hybrid the
+                # production _all_spans_device path uses
                 dp_s = dp_safe if which == "spans_safe" else dp_ambig
-                m, bb, ee = dp_s.spans_single(chars, nch, zeros)
+                m, bb, ee = dp_s.spans_single(chars, nch, zeros, True)
+                if na_rows is not None and len(na_rows):
+                    nad = jnp.asarray(na_rows, jnp.int32)
+                    m2, b2, e2 = dp_s.spans_single(
+                        chars[nad], nch[nad], zeros[: len(na_rows)], False
+                    )
+                    m = m.at[nad].set(m2)
+                    bb = bb.at[nad].set(b2)
+                    ee = ee.at[nad].set(e2)
                 acc = (
                     acc + jnp.sum(m.astype(jnp.int32)) + jnp.sum(bb)
                     + jnp.sum(ee)

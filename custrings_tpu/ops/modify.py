@@ -158,6 +158,62 @@ def _replace_write(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
+def _replace_write_route(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
+    """Size-changing write as ONE monotone routing pass (round 5; the
+    scatter writer cost 62 ms at 16k and failed to compile at the 4M
+    tier).
+
+    shrink (rl <= m): the replacement fits INSIDE the match's byte span
+    — overwrite the first rl match bytes in place, mark them kept, drop
+    the rest: a rank-compaction of the augmented plane IS the output.
+    grow (rl > m): kept bytes move RIGHT by out_pos - j (nondecreasing
+    over kept lanes since every row only grows); the unplaced output
+    gaps are then exactly the rl-byte replacement zones, filled with a
+    cummax off the placed mask.  Ref: the reference's write phase is the
+    same single byte pass, cpp/src/strings/replace.cu:79-130."""
+    from . import shift_compact
+
+    picked, inside, picks_in_row, covered_in_row, picks_per_row, row_start = plan
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    lens = col.lengths()
+    sizes = lens + picks_per_row * (rl - m)
+    out_offsets = cumsum0(sizes)
+    keep = (~inside) & layout.valid_byte_mask(col)
+    if rl <= m:
+        last_start = segments.cummax(jnp.where(picked, j, -1))
+        doff = j - last_start
+        rep_zone = inside & (last_start >= 0) & (doff < rl)
+        aug = (
+            jnp.where(rep_zone, _small_lookup(r, doff, rl), col.data)
+            if rl
+            else col.data
+        )
+        (data,), _ = shift_compact.compact_arrays(keep | rep_zone, [aug])
+        if cap >= bcap:
+            data = data[:bcap]
+        else:
+            data = jnp.pad(data, (0, bcap - cap))
+        return data, out_offsets
+    out_pos = (
+        segments.broadcast_rows_to_bytes(out_offsets[:-1], col.offsets, cap)
+        + (j - row_start)
+        - covered_in_row
+        + picks_in_row * rl
+    )
+    dist = jnp.maximum(out_pos - j, 0)
+    (moved,), placed = shift_compact.expand_to(keep, dist, [col.data], bcap)
+    q = jnp.arange(bcap, dtype=jnp.int32)
+    last_placed = segments.cummax(jnp.where(placed, q, -1))
+    # gaps are k adjacent rl-byte replacement zones: index mod rl
+    doff = (q - last_placed - 1) % rl
+    in_rep = (~placed) & (q < out_offsets[-1])
+    rep = _small_lookup(r, doff, rl)
+    data = jnp.where(in_rep, rep, jnp.where(placed, moved, jnp.uint8(0)))
+    return data, out_offsets
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def _replace_write_gather(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
     """Gather-based write: every output byte computes its source via the
     inverse of the piecewise copy/insert map — no dense scatter-set (XLA
@@ -281,7 +337,7 @@ def _replace_full(
     if rl == m and bcap == col.capacity:
         return _replace_same_len(col, None, p, r, m, bordered, n)
     plan = _replace_plan(col, rbounds, p, m, bordered, n)
-    return _replace_write(col, plan, r, m, rl, bcap)
+    return _replace_write_route(col, plan, r, m, rl, bcap)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
