@@ -106,7 +106,7 @@ def build_resident_loop(
             )
             # -- split_record -------------------------------------------
             sdata, tok_off, byte_off = split._delim_full_bd(
-                c, tcap, bcap, delim, -1, False
+                c, tcap, bcap, delim, -1, False, tail
             )
             # -- categorize (dictionary encode values) ------------------
             if cat_ucap >= 0:
@@ -212,9 +212,7 @@ def build_op_loop(col: StringColumn, which: str):
         tok_exact = int(jax.device_get(split._ragged_counts(
             col, split._delim_extents_stream, (" ", -1, False), tl)))
         tcap_x = bucket_bytes(tok_exact)
-        _, _, byte_off0 = split._ragged_extents(
-            col, split._delim_extents_stream, (" ", -1, False), tcap_x, tl)
-        bcap_x = bucket_bytes(int(jax.device_get(byte_off0[-1])))
+        bcap_x = bucket_bytes(col.capacity)  # static byte bound
     if which == "categorize":
         cat_width, cat_full, cat_ucap = _settled_category_width(col)
     # size-CHANGING literal replace (VERDICT r4 item 4): "the" -> "THEE"
@@ -267,16 +265,14 @@ def build_op_loop(col: StringColumn, which: str):
                 acc = acc + roffs[-1] + rdata[0].astype(jnp.int32)
             elif which == "split":
                 if split_big:
-                    tok_off, starts, byte_off = split._ragged_extents(
-                        c, split._delim_extents_stream, (" ", -1, False),
-                        tcap_x, tail,
-                    )
-                    sdata = split._ragged_write(
-                        c, starts, byte_off, bcap_x
+                    # production over-threshold routing: the fused
+                    # byte-domain body with the synced token cap
+                    sdata, tok_off, byte_off = split._delim_full_bd(
+                        c, tcap_x, bcap_x, " ", -1, False, tail
                     )
                 else:
                     sdata, tok_off, byte_off = split._delim_full_bd(
-                        c, tcap, bcap, " ", -1, False
+                        c, tcap, bcap, " ", -1, False, tail
                     )
                 acc = (
                     acc + tok_off[-1] + byte_off[-1]

@@ -94,7 +94,7 @@ def _flat_roll(x, s, right: bool):
     return jnp.where(li < sl, z2, z1)
 
 
-def _route(r, vals, T: int, right: bool):
+def _route(r, vals, T: int, right: bool, pack8: bool = False):
     """Monotone-route payload tiles by the distance plane r (INF = dead):
     element at flat position q moves to q + r[q] (right) / q - r[q]
     (left).  MSB-first for right moves, LSB-first for left (the two
@@ -105,10 +105,31 @@ def _route(r, vals, T: int, right: bool):
     lane can never satisfy the take test — no rin < INF guard needed.
     Payload lanes that neither take nor stay keep STALE values instead
     of being zeroed; r tracks liveness, and every consumer reads
-    payloads only where r == 0."""
+    payloads only where r == 0.
+
+    pack8 (round 5): a single u8 payload rides INSIDE the distance
+    plane as c = (r << 8) | byte — ONE roll + select chain per round
+    instead of two.  The movers are VPU-routing-bound (~7.1G lanes/s at
+    any width, probe_r4c), so halving the routed planes is a direct
+    ~1.7x on every byte-plane compaction/expansion.  Distances < T <=
+    2^16 keep bit k at position k+8 <= 24, clear in the DEAD sentinel
+    (2^30), so dead lanes still never satisfy the take test."""
     bits = range(T.bit_length() - 2, -1, -1) if right else range(
         T.bit_length() - 1
     )
+    if pack8 and len(vals) == 1:
+        c = jnp.where(r < _INF, (r << 8) | (vals[0] & 255), _INF)
+        for k in bits:
+            bc = (1 << k) << 8
+            rc = _flat_roll(c, 1 << k, right)
+            take = (rc & bc) != 0
+            stay = (c < _INF) & ((c & bc) == 0)
+            c = jnp.where(take, rc - bc, jnp.where(stay, c, _INF))
+        alive = c < _INF
+        return (
+            jnp.where(alive, c >> 8, _INF),
+            [jnp.where(alive, c & 255, 0)],
+        )
     for k in bits:
         b = 1 << k
         rin = _flat_roll(r, b, right)
@@ -155,6 +176,7 @@ def _tile_prefix_incl(x, ut):
 
 def _compact_kernel_factory(T: int, nvals: int, dtypes, last: int):
     R = T // 128
+    pack8 = nvals == 1 and np.dtype(dtypes[0]) == np.uint8
 
     def kernel(kb_ref, *refs):
         from jax.experimental import pallas as pl
@@ -185,7 +207,7 @@ def _compact_kernel_factory(T: int, nvals: int, dtypes, last: int):
             jnp.where(alive, v_ref[:].astype(jnp.int32), 0)
             for v_ref in val_refs
         ]
-        _, vals = _route(r0, vals, T, right=False)
+        _, vals = _route(r0, vals, T, right=False, pack8=pack8)
 
         fill = kb_ref[t] % T
         flush_lo = kb_ref[t] // T
@@ -318,6 +340,7 @@ def compact_stream(keep, arrays, k0=None, tile: int = _T):
 def _expand_kernel_factory(T: int, A: int, nvals: int, val_is32):
     RW = (T + A) // 128  # work rows
     R = T // 128  # out rows
+    pack8 = nvals == 1 and not val_is32[0]
 
     def kernel(lo_ref, *refs):
         from jax.experimental import pallas as pl
@@ -384,7 +407,7 @@ def _expand_kernel_factory(T: int, A: int, nvals: int, val_is32):
         ok = (lv > 0) & (m >= 0) & (u + m < T) & (u < T)
         r = jnp.where(ok, m, _INF)
         vs = [jnp.where(ok, v, 0) for v in vs]
-        r, vs = _route(r, vs, T, right=True)
+        r, vs = _route(r, vs, T, right=True, pack8=pack8)
         placed = (r == 0) & (u < T)
         for out, v in zip(out_refs[:nvals], vs):
             out[:] = jnp.where(placed, v, 0)[:R].astype(out.dtype)

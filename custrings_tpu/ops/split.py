@@ -98,6 +98,10 @@ def _ragged_extents(col, body_fn, static_args, tcap, *args):
 
 @partial(jax.jit, static_argnums=(3,))
 def _ragged_write(col, starts, byte_off, bcap):
+    return _ragged_write_body(col, starts, byte_off, bcap)
+
+
+def _ragged_write_body(col, starts, byte_off, bcap):
     """Materialize token bytes.  Every run_ragged body emits tokens in
     source order with disjoint spans, so at scale the write is a pure
     monotone re-layout: cover-compact the token bytes out of the source,
@@ -115,15 +119,35 @@ def _ragged_write(col, starts, byte_off, bcap):
         sizes = byte_off[1:] - byte_off[:-1]
         ok = sizes > 0
         keep = cover_spans(starts, starts + sizes, ok, cap)
-        (stream,), k0 = shift_compact.compact_arrays(keep, [col.data])
-        return stream_expand_spans(
-            stream, k0[-1], byte_off[:-1], sizes, ok, bcap
-        )
+        (stream,), _ = shift_compact.compact_arrays(keep, [col.data])
+        # run_ragged bodies emit DISJOINT source-ordered spans and
+        # byte_off = cumsum(sizes), so the compacted cover stream IS the
+        # output byte-for-byte — the former stream_expand_spans pass
+        # moved every byte by distance 0 (a full linear routing pass,
+        # ~100 ms at the 1M tier, for nothing)
+        if cap >= bcap:
+            return stream[:bcap]
+        return jnp.pad(stream, (0, bcap - cap))
 
     def produce(trows, k, valid, bcast):
         return layout.gather_bytes(col.data, bcast(starts) + k)
 
     return materialize_bytes(byte_off, bcap, produce)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _ragged_extents_write(col, body_fn, static_args, tcap, bcap, *args):
+    """Fused extents + routing write for the over-threshold path: token
+    bytes are bounded by input bytes, so bcap = capacity is a STATIC
+    bound and the byte-total sync between the phases disappears (one
+    program instead of two, one sync for the whole split)."""
+    counts, starts, ends = body_fn(col, tcap, *static_args, *args)
+    tok_off = cumsum0(counts)
+    tvalid = jnp.arange(tcap, dtype=jnp.int32) < tok_off[-1]
+    sizes = jnp.where(tvalid, ends - starts, 0)
+    byte_off = cumsum0(sizes)
+    data = _ragged_write_body(col, starts, byte_off, bcap)
+    return data, tok_off, byte_off
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -180,12 +204,12 @@ def run_ragged(body_fn, col, *args, static_args=()) -> TokenColumn:
             body_fn = _delim_extents_stream
         total_tokens = int(_ragged_counts(col, body_fn, static_args, *args))
         tcap = bucket_bytes(total_tokens)
-        tok_off, starts, byte_off = _ragged_extents(
-            col, body_fn, static_args, tcap, *args
+        # token bytes <= input bytes: bcap = capacity is a static bound,
+        # so extents + write fuse into one program (one total size sync)
+        bcap = bucket_bytes(col.capacity)
+        data, tok_off, byte_off = _ragged_extents_write(
+            col, body_fn, static_args, tcap, bcap, *args
         )
-        total_bytes = int(byte_off[-1])
-        bcap = bucket_bytes(total_bytes)
-        data = _ragged_write(col, starts, byte_off, bcap)
     tokens = StringColumn(
         data,
         byte_off[: total_tokens + 1],
@@ -318,15 +342,19 @@ def _delim_extents_stream(
         picked = jnp.roll(jnp.flip(picked_rev), -(m - 1))
     else:
         picked = _greedy_select(match, m, bordered)
-    (dpos_full,), k0d = shift_compact.compact_arrays(picked, [j])
-
+    k0d = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), _pscan_cumsum(picked.astype(jnp.int32))]
+    )
     dpr = k0d[col.offsets[1:]] - k0d[col.offsets[:-1]]
     allowed = maxsplit if maxsplit > 0 else _INF
     used = jnp.minimum(dpr, allowed)
     counts = jnp.where(col.validity, used + 1, 0)
     if tcap is None:
+        # counts need only the picked prefix — skip the position
+        # compaction (a full linear routing pass) in this phase
         return counts
 
+    (dpos_full,), _ = shift_compact.compact_arrays(picked, [j])
     dpos = dpos_full[:tcap] if cap >= tcap else jnp.pad(
         dpos_full, (0, tcap - cap)
     )
@@ -381,8 +409,10 @@ def _delim_full_jit(tcap: int, bcap: int, delim: str, maxsplit: int,
     'Execution supplied 3 buffers but compiled program expected 5');
     distinct function objects keep the cache entries apart."""
 
-    def fn(col):
-        return _delim_full_bd(col, tcap, bcap, delim, maxsplit, from_right)
+    def fn(col, tail=None):
+        return _delim_full_bd(
+            col, tcap, bcap, delim, maxsplit, from_right, tail
+        )
 
     fn.__name__ = (
         f"_delim_full_{tcap}_{bcap}_{maxsplit}_{int(from_right)}"
@@ -390,9 +420,72 @@ def _delim_full_jit(tcap: int, bcap: int, delim: str, maxsplit: int,
     return jax.jit(fn)
 
 
+def _delim_full_fast(col, tcap: int, bcap: int, m: int, picked, tail):
+    """No-quota left-split fast path (the common case): counts derive
+    from the keep-compaction's own prefix (kept_r = m * delims dropped),
+    so the picked-prefix cumsum disappears, and the delimiter->token
+    compact carries ONE i32 payload (the slot distance is a per-row
+    constant broadcast over the DELIMITER domain, ~1/10 the lanes).
+    Measured round 5 (ablation probe, v5e 1M tier): the general body
+    spent ~40 ms recomputing the tail plane, ~14 ms on the validity
+    broadcast, ~20 ms on the picked cumsum, and ~20 ms on the second
+    compact payload — all structural, none needed here."""
+    from . import shift_compact
+
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    if tail is None:
+        tail = layout.tail_plane(col)
+    if m == 1:
+        inside = picked
+    else:
+        last_d = segments.cummax(jnp.where(picked, j, -1))
+        inside = (last_d >= 0) & (j - last_d < m)
+    keep = (tail > 0) & ~inside
+    (data, ), k0 = shift_compact.compact_arrays(keep, [col.data])
+    if cap >= bcap:
+        data = data[:bcap]
+    else:
+        data = jnp.pad(data, (0, bcap - cap))
+    # per-row delimiter count from kept lengths: every used delimiter
+    # drops exactly m bytes of a valid row
+    kept_r = k0[col.offsets[1:]] - k0[col.offsets[:-1]]
+    lens = col.offsets[1:] - col.offsets[:-1]
+    dpr = jnp.where(col.validity, (lens - kept_r) // m, 0)
+    counts = jnp.where(col.validity, dpr + 1, 0)
+    tok_off = cumsum0(counts)
+    # delimiter domain: kept-prefix value at each used delimiter = the
+    # byte offset (in the output stream) where its token ends
+    (dk,), d0 = shift_compact.compact_arrays(picked, [k0[:cap]])
+    ndel = d0[-1]
+    if cap >= tcap:
+        dk = dk[:tcap]
+    else:
+        dk = jnp.pad(dk, (0, tcap - cap))
+    dof = cumsum0(dpr)
+    q = jnp.arange(tcap, dtype=jnp.int32)
+    # slot of delimiter q = q + (tok_off[row_q] - dof[row_q]): a row
+    # value broadcast over the DELIMITER domain (tcap lanes, not cap)
+    ddist = segments.broadcast_rows_to_bytes(
+        tok_off[:-1] - dof[:-1], dof, tcap
+    )
+    live = q < ndel
+    (T0,), _ = shift_compact.expand_arrays(live, ddist, [dk])
+    ends_last = k0[col.offsets[1:]]
+    T = (
+        jnp.concatenate([T0, jnp.zeros(1, jnp.int32)])
+        .at[jnp.where(col.validity, tok_off[1:] - 1, tcap)]
+        .set(ends_last)[:tcap]
+    )
+    byte_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), segments.cummax(T)]
+    )
+    return data, tok_off, byte_off
+
+
 def _delim_full_bd(
     col: StringColumn, tcap: int, bcap: int, delim: str, maxsplit: int,
-    from_right: bool,
+    from_right: bool, tail=None,
 ):
     """Fused byte-domain delimiter split: ONE program -> (data, tok_off,
     byte_off) with NO capacity-sized scatter or gather.
@@ -413,13 +506,16 @@ def _delim_full_bd(
     p = jnp.asarray(list(pat_b), jnp.uint8)
     cap = col.capacity
     j = jnp.arange(cap, dtype=jnp.int32)
-    match = _row_fenced_match(col, p, m, None)
+    match = _row_fenced_match(col, p, m, tail)
     bordered = _has_border(pat_b)
     if from_right and bordered:
         revm = jnp.roll(jnp.flip(match), -(m - 1))
         picked = jnp.roll(jnp.flip(_greedy_select(revm, m, True)), -(m - 1))
     else:
         picked = _greedy_select(match, m, bordered)
+
+    if maxsplit <= 0 and not from_right and m <= 255:
+        return _delim_full_fast(col, tcap, bcap, m, picked, tail)
 
     pk0 = cumsum0(picked)
     delims_per_row = segments.per_row_of_prefix(pk0, col.offsets)
@@ -512,7 +608,9 @@ def _delim_split(
         from ..utils.jitguard import call_resilient
 
         data, tok_off, byte_off = call_resilient(
-            _delim_full_jit(tcap, bcap, delim, maxsplit, from_right), col
+            _delim_full_jit(tcap, bcap, delim, maxsplit, from_right),
+            col,
+            layout.tail_plane(col) if m <= 255 else None,
         )
         total_tokens = int(tok_off[-1])
         tokens = StringColumn(
@@ -521,16 +619,32 @@ def _delim_split(
             jnp.ones(total_tokens, jnp.bool_),
         )
         return TokenColumn(tokens, tok_off, col.validity)
-    # over-threshold: the ragged driver re-runs the body for counts and
-    # extents — hand it the memoized u8 tail plane (fence + validity in
-    # one compare; cacheable at ANY capacity, 1 byte per capacity byte)
+    # over-threshold (round 5): one cheap counts program (prefix only —
+    # no routing pass) syncs the exact token total, then the SAME fused
+    # byte-domain body as the under-threshold path runs with tcap from
+    # the sync and the static byte bound bcap = capacity (token bytes
+    # are a subset of input bytes).  The former run_ragged driver spent
+    # ~60% of the op in the generic cover/expand machinery that the
+    # delimiter body does not need.
     tail = layout.tail_plane(col) if m <= 255 else None
-    return run_ragged(
-        _delim_body,
-        col,
-        tail,
-        static_args=(delim, maxsplit, from_right),
+    from ..utils.jitguard import call_resilient
+
+    total_tokens = int(
+        _ragged_counts(
+            col, _delim_extents_stream, (delim, maxsplit, from_right), tail
+        )
     )
+    tcap = bucket_bytes(max(total_tokens, 1))
+    bcap = bucket_bytes(col.capacity)
+    data, tok_off, byte_off = call_resilient(
+        _delim_full_jit(tcap, bcap, delim, maxsplit, from_right), col, tail
+    )
+    tokens = StringColumn(
+        data,
+        byte_off[: total_tokens + 1],
+        jnp.ones(total_tokens, jnp.bool_),
+    )
+    return TokenColumn(tokens, tok_off, col.validity)
 
 
 def _ws_body(col: StringColumn, tcap, maxsplit: int, from_right: bool):
