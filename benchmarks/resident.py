@@ -86,20 +86,30 @@ def build_resident_loop(
     na_rows = layout.row_nonascii_ids(col)
     cat_width, cat_full, cat_ucap = _settled_category_width(col)
     split_static = (delim, -1, False)
-    # over the plane budget the row-bounds planes are not materialized as
-    # resident args (they pin ~8x capacity); ops compute them in-body
+    # per-column precomputes ride as resident args (production memoizes
+    # them on the column; the loop's barrier would defeat that cache):
+    # the u8 tail plane and the padded char matrix (custring_view-init
+    # analogues, built once per column)
     tl = layout.tail_plane(col)
+    cmc, cmn = layout.char_matrix(col, cm_width)
 
-    @partial(jax.jit, static_argnums=(4,))
-    def loop(data, offsets, validity, tail, K: int):
+    @partial(jax.jit, static_argnums=(6,))
+    def loop(data, offsets, validity, tail, cmc_a, cmn_a, K: int):
         def body(i, carry):
             d, acc = carry
             d = jax.lax.optimization_barrier(d)
             c = StringColumn(d, offsets, validity)
             layout.set_row_nonascii_hint(c, na_rows)
-            # -- contains_re --------------------------------------------
-            layout._cache(c)["max_row_bytes"] = cm_width
-            hits = rx.contains_re(c, pattern)
+            # -- contains_re (engine over the resident char matrix, the
+            # ascii-LUT + nonascii-patch hybrid of rx._matches) --------
+            eng = dp.matches if use_pnfa else dp.nfa_matches
+            hits = eng(cmc_a, cmn_a, False, True)
+            if na_rows is not None and len(na_rows):
+                nad = jnp.asarray(na_rows, jnp.int32)
+                hits = hits.at[nad].set(
+                    eng(cmc_a[nad], cmn_a[nad], False, False)
+                )
+            hits = hits & validity
             # -- replace (literal, same-length elementwise) -------------
             rdata, roffs = modify._replace_same_len(
                 c, tail, p, r, m, bordered, -1
@@ -137,7 +147,7 @@ def build_resident_loop(
         )
         return acc
 
-    return loop, (col.data, col.offsets, col.validity, tl)
+    return loop, (col.data, col.offsets, col.validity, tl, cmc, cmn)
 
 
 def measure(lines, K: int = 24):
@@ -230,9 +240,17 @@ def build_op_loop(col: StringColumn, which: str):
     # the exact ordered engine an alternation pattern is routed to
     dp_safe = rx.get_program(r"(\w+)@(\w+)")   # longest_safe=True
     dp_ambig = rx.get_program(r"the|that")      # longest_safe=False
+    # resident char matrix for the regex-family ops: the per-column
+    # precompute production memoizes on the column (charmatrix measures
+    # its build as its own line)
+    if which in ("contains", "spans_safe", "spans_ambig"):
+        cmc, cmn = layout.char_matrix(col, cm_width)
+    else:
+        cmc = cmn = None
 
-    @partial(jax.jit, static_argnums=(6,))
-    def loop(data, offsets, validity, tail, row_start, row_end, K: int):
+    @partial(jax.jit, static_argnums=(8,))
+    def loop(data, offsets, validity, tail, row_start, row_end,
+             cmc_a, cmn_a, K: int):
         rbp = None if row_start is None else (row_start, row_end)
 
         def body(i, carry):
@@ -241,8 +259,14 @@ def build_op_loop(col: StringColumn, which: str):
             c = StringColumn(d, offsets, validity)
             layout.set_row_nonascii_hint(c, na_rows)
             if which == "contains":
-                layout._cache(c)["max_row_bytes"] = cm_width
-                hits = rx.contains_re(c, r"#\w+")
+                eng = dp.matches if use_pnfa else dp.nfa_matches
+                hits = eng(cmc_a, cmn_a, False, True)
+                if na_rows is not None and len(na_rows):
+                    nad = jnp.asarray(na_rows, jnp.int32)
+                    hits = hits.at[nad].set(
+                        eng(cmc_a[nad], cmn_a[nad], False, False)
+                    )
+                hits = hits & validity
                 acc = acc + jnp.sum(hits.astype(jnp.int32))
             elif which == "charmatrix":
                 layout._cache(c)["max_row_bytes"] = cm_width
@@ -295,8 +319,7 @@ def build_op_loop(col: StringColumn, which: str):
                     )
                 acc = acc + jnp.sum(values)
             elif which in ("spans_safe", "spans_ambig"):
-                layout._cache(c)["max_row_bytes"] = cm_width
-                chars, nch = layout.char_matrix(c, cm_width)
+                chars, nch = cmc_a, cmn_a
                 zeros = jnp.zeros(chars.shape[0], jnp.int32)
                 # round 5: spans ride the router (bit-parallel two-pass
                 # when certified; min-plus / ordered engines otherwise),
@@ -323,7 +346,9 @@ def build_op_loop(col: StringColumn, which: str):
         )
         return acc
 
-    return loop, (col.data, col.offsets, col.validity, tl, rb[0], rb[1])
+    return loop, (
+        col.data, col.offsets, col.validity, tl, rb[0], rb[1], cmc, cmn
+    )
 
 
 def measure_ops(lines, K: int = 16, ops=None):

@@ -762,32 +762,43 @@ def char_matrix(col: StringColumn, width: int | None = None):
         width = max_row_bytes(col)
     c = _cache(col)
     key = ("char_matrix", width)
+    if (
+        key not in c
+        and not isinstance(col.data, jax.core.Tracer)
+        and col.size * width * 4 > 2 * PLANE_CACHE_BUDGET
+    ):
+        # over-budget matrix (e.g. 4.3 GB at the 4M tier): build without
+        # memoizing so the column does not pin it for its lifetime
+        return _char_matrix_build(col, width)
     if key not in c:
-        na = row_nonascii_ids(col) if _use_pallas_window() else None
-        if na is not None and (
-            len(na) == 0 or len(na) * 8 <= max(col.size, 1)
-        ):
-            try:
-                covers = width >= max_row_bytes(col)
-            except Exception:
-                covers = False
-            c[key] = _char_matrix_hybrid(
-                col.data,
-                col.offsets,
-                col.lengths(),
-                jnp.asarray(na, jnp.int32),
-                width,
-                _use_stream_view(col, width) and covers,
-            )
-        else:
-            cm = char_map(col)
-            cps = codepoints(col)
-            ncap = cps.shape[0]
-            nch = cm.nchars()
-            j = jnp.arange(width, dtype=jnp.int32)[None, :]
-            g = jnp.clip(
-                cm.char_offsets[:-1][:, None] + j, 0, max(ncap - 1, 0)
-            )
-            mat = jnp.where(j < nch[:, None], cps[g], 0)
-            c[key] = (mat, nch)
+        c[key] = _char_matrix_build(col, width)
     return c[key]
+
+
+def _char_matrix_build(col: StringColumn, width: int):
+    na = row_nonascii_ids(col) if _use_pallas_window() else None
+    if na is not None and (
+        len(na) == 0 or len(na) * 8 <= max(col.size, 1)
+    ):
+        try:
+            covers = width >= max_row_bytes(col)
+        except Exception:
+            covers = False
+        return _char_matrix_hybrid(
+            col.data,
+            col.offsets,
+            col.lengths(),
+            jnp.asarray(na, jnp.int32),
+            width,
+            _use_stream_view(col, width) and covers,
+        )
+    cm = char_map(col)
+    cps = codepoints(col)
+    ncap = cps.shape[0]
+    nch = cm.nchars()
+    j = jnp.arange(width, dtype=jnp.int32)[None, :]
+    g = jnp.clip(
+        cm.char_offsets[:-1][:, None] + j, 0, max(ncap - 1, 0)
+    )
+    mat = jnp.where(j < nch[:, None], cps[g], 0)
+    return mat, nch
