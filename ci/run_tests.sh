@@ -17,6 +17,7 @@ python -m pytest tests/test_ops.py tests/test_parallel.py \
   tests/test_regex.py tests/test_replace_multi.py tests/test_split.py \
   tests/test_text.py tests/test_pallas_window.py \
   tests/test_pallas_route.py tests/test_backref_device.py \
+  tests/test_span_bits.py \
   -q --junitxml=test-results-b.xml "$@"
 python - <<'EOF'
 import os
