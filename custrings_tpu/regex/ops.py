@@ -364,8 +364,11 @@ def extract(col: StringColumn, pattern: str) -> list[StringColumn]:
     chars, nch = _mats(col)
     n = col.size
     zeros = jnp.zeros(n, jnp.int32)
-    m0, b0, e0 = dp.spans_exec(chars, nch, zeros, jnp.full(n, -1, jnp.int32), 0)
-    m0_np = np.asarray(jax.device_get(m0)) > 0
+    # first-match spans via the router (bit-parallel for certified
+    # programs — the group extractions below stay on the capture-capable
+    # ordered/DFS engine, anchored at the found begins)
+    m0b, b0, e0 = dp.spans_single(chars, nch, zeros)
+    m0_np = np.asarray(jax.device_get(m0b)).astype(bool)
     b0_np = np.asarray(jax.device_get(b0))
     out = []
     for g in range(1, groups + 1):
@@ -549,7 +552,6 @@ def _multi_spans_fn(patterns: tuple):
     (replace_multi.cu:110).  Same device round loop as all_spans.
     """
     dps = [get_program(p) for p in patterns]
-    fasts = [dp.prog.longest_safe and dp.I <= 128 for dp in dps]
     BIG = jnp.int32(1 << 30)
 
     @partial(jax.jit, static_argnums=(3, 4))
@@ -566,14 +568,8 @@ def _multi_spans_fn(patterns: tuple):
             best_e = jnp.zeros((N,), jnp.int32)
             best_id = jnp.full((N,), -1, jnp.int32)
             for k, dp in enumerate(dps):
-                if fasts[k]:
-                    m, b, e = dp.nfa_spans(chars, lengths, begins)
-                else:
-                    m, b, e = dp.spans_exec(
-                        chars, lengths, begins,
-                        jnp.full((N,), -1, jnp.int32), 0,
-                    )
-                    m = m > 0
+                # per-pattern router: bit-parallel when certified
+                m, b, e = dp.spans_single(chars, lengths, begins)
                 better = m & (b < best_b)
                 best_b = jnp.where(better, b, best_b)
                 best_e = jnp.where(better, e, best_e)
