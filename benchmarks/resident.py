@@ -246,8 +246,15 @@ def build_op_loop(col: StringColumn, which: str):
     dp_ambig = rx.get_program(r"the|that")      # longest_safe=False
     # resident char matrix for the regex-family ops: the per-column
     # precompute production memoizes on the column (charmatrix measures
-    # its build as its own line)
-    if which in ("contains", "spans_safe", "spans_ambig"):
+    # its build as its own line).  Same budget gate as the production
+    # cache: a 4M column's 3.9 GB matrix cannot ride as a resident arg
+    # (the remote compile helper dies on the program) — those tiers
+    # build in-loop like production's uncached path.
+    hoist_cm = (
+        which in ("contains", "spans_safe", "spans_ambig")
+        and col.size * cm_width * 4 <= 2 * layout.PLANE_CACHE_BUDGET
+    )
+    if hoist_cm:
         cmc, cmn = layout.char_matrix(col, cm_width)
     else:
         cmc = cmn = None
@@ -268,14 +275,18 @@ def build_op_loop(col: StringColumn, which: str):
             c = StringColumn(d, offsets, validity)
             layout.set_row_nonascii_hint(c, na_rows)
             if which == "contains":
-                eng = dp.matches if use_pnfa else dp.nfa_matches
-                hits = eng(cmc_a, cmn_a, False, True)
-                if na_rows is not None and len(na_rows):
-                    nad = jnp.asarray(na_rows, jnp.int32)
-                    hits = hits.at[nad].set(
-                        eng(cmc_a[nad], cmn_a[nad], False, False)
-                    )
-                hits = hits & validity
+                if cmc_a is None:  # over-budget tier: in-loop view build
+                    layout._cache(c)["max_row_bytes"] = cm_width
+                    hits = rx.contains_re(c, r"#\w+")
+                else:
+                    eng = dp.matches if use_pnfa else dp.nfa_matches
+                    hits = eng(cmc_a, cmn_a, False, True)
+                    if na_rows is not None and len(na_rows):
+                        nad = jnp.asarray(na_rows, jnp.int32)
+                        hits = hits.at[nad].set(
+                            eng(cmc_a[nad], cmn_a[nad], False, False)
+                        )
+                    hits = hits & validity
                 acc = acc + jnp.sum(hits.astype(jnp.int32))
             elif which == "charmatrix":
                 layout._cache(c)["max_row_bytes"] = cm_width
@@ -291,8 +302,8 @@ def build_op_loop(col: StringColumn, which: str):
                 rdata = jax.lax.optimization_barrier(rdata)
                 acc = acc + roffs[-1] + rdata[0].astype(jnp.int32)
             elif which == "replace_grow":
-                rdata, roffs = modify._replace_full(
-                    c, rbp, p, rg, 3, 4, bordered, -1, bcap_g
+                rdata, roffs = modify._replace_grow_stream(
+                    c, tail, p, rg, 3, 4, bcap_g
                 )
                 rdata = jax.lax.optimization_barrier(rdata)
                 acc = acc + roffs[-1] + rdata[0].astype(jnp.int32)
@@ -328,7 +339,11 @@ def build_op_loop(col: StringColumn, which: str):
                     )
                 acc = acc + jnp.sum(values)
             elif which in ("spans_safe", "spans_ambig"):
-                chars, nch = cmc_a, cmn_a
+                if cmc_a is None:  # over-budget tier: in-loop view build
+                    layout._cache(c)["max_row_bytes"] = cm_width
+                    chars, nch = layout.char_matrix(c, cm_width)
+                else:
+                    chars, nch = cmc_a, cmn_a
                 zeros = jnp.zeros(chars.shape[0], jnp.int32)
                 # round 5: spans ride the router (bit-parallel two-pass
                 # when certified; min-plus / ordered engines otherwise),

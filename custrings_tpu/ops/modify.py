@@ -213,6 +213,70 @@ def _replace_write_route(col: StringColumn, plan, r, m: int, rl: int, bcap: int)
     return data, out_offsets
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _replace_grow_stream(col, tail, p, r, m: int, rl: int, bcap: int):
+    """Growth writer for unbordered small patterns without quota: ONE
+    int32 plane + one streaming expansion.
+
+    The plan-based route materializes ~7 int32[capacity] planes
+    (picks/covered prefixes, in-row ranks, out positions) — 25.4 GB of
+    HLO temps at the 4M tier, a compile-time OOM.  Here the augmented
+    stream substitutes the first m replacement bytes IN PLACE (matches
+    cannot overlap: m-way rolled select), EVERY in-bounds byte is kept,
+    and kept byte j moves right by growth * picks-strictly-before-its-
+    match — monotone on ALL lanes, so the streaming expand needs no
+    forward-fill pass.  The unplaced output gaps are the (rl-m)-byte
+    replacement tails: a CONSTANT byte when growth == 1 (the common
+    case), an in-gap cummax otherwise.
+    Ref: replace.cu:79-130 (the same single write pass per byte)."""
+    from . import shift_compact
+    from .pallas_scan import cumsum_i32
+
+    g = rl - m
+    cap = col.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    if tail is None:
+        tail = layout.tail_plane(col)
+    picked = _match_mask(col.data, p) & (tail >= m)
+    # non-overlapping (unbordered): the covering pick is an exact m-way
+    # rolled select (same trick as _replace_same_len)
+    off = jnp.full(cap, m, jnp.int32)
+    for k in range(m):
+        pkk = jnp.roll(picked, k) & (j >= k) if k else picked
+        off = jnp.where(pkk, k, off)
+    inside = off < m
+    aug = jnp.where(
+        inside, _small_lookup(r, jnp.minimum(off, m - 1), m), col.data
+    )
+    keep = tail > 0
+    pk0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), cumsum_i32(picked.astype(jnp.uint8))]
+    )
+    dist = g * (pk0[1:] - inside.astype(jnp.int32))
+    # dist is monotone on ALL lanes (the pick prefix is), so the
+    # streaming kernel needs no forward-fill pass
+    from ..config import use_interpret_mode
+    from .pallas_route import ROUTE_MIN, expand_stream
+
+    if max(cap, bcap) >= ROUTE_MIN and not use_interpret_mode():
+        (moved,), placed = expand_stream(keep, dist, [aug], out_cap=bcap)
+    else:
+        (moved,), placed = shift_compact.expand_to(keep, dist, [aug], bcap)
+    lens = col.lengths()
+    ppr = segments.per_row_of_prefix(pk0, col.offsets)
+    out_offsets = cumsum0(lens + ppr * g)
+    q = jnp.arange(bcap, dtype=jnp.int32)
+    in_gap = (~placed) & (q < out_offsets[-1])
+    if g == 1:
+        rep = jnp.broadcast_to(r[rl - 1], (bcap,))
+    else:
+        last_placed = segments.cummax(jnp.where(placed, q, -1))
+        doff = (q - last_placed - 1) % g
+        rep = _small_lookup(r, m + doff, rl)
+    data = jnp.where(in_gap, rep, jnp.where(placed, moved, jnp.uint8(0)))
+    return data, out_offsets
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def _replace_write_gather(col: StringColumn, plan, r, m: int, rl: int, bcap: int):
     """Gather-based write: every output byte computes its source via the
@@ -336,6 +400,13 @@ def _replace_full(
     one XLA program — cross-program buffers are costly on the relay)."""
     if rl == m and bcap == col.capacity:
         return _replace_same_len(col, None, p, r, m, bordered, n)
+    if rl > m and not bordered and m <= 8 and n < 0:
+        tail = (
+            layout.tail_plane(col)
+            if not isinstance(col.data, jax.core.Tracer)
+            else None
+        )
+        return _replace_grow_stream(col, tail, p, r, m, rl, bcap)
     plan = _replace_plan(col, rbounds, p, m, bordered, n)
     return _replace_write_route(col, plan, r, m, rl, bcap)
 

@@ -476,10 +476,19 @@ def expand_stream(live, dist, arrays, out_cap: int | None = None,
     grid = mcap // tile
 
     dist = dist.astype(jnp.int32)
-    # input window start per out tile: first j with j + dist[j] >= t*T
-    p = jnp.arange(n, dtype=jnp.int32) + dist
+    # input window start per out tile: first j with j + dist[j] >= t*T —
+    # an implicit binary search over the dist plane (materializing the
+    # position plane j + dist[j] costs another capacity-sized int32
+    # buffer, 3.5 GB at the 4M tier)
     tstarts = jnp.arange(grid, dtype=jnp.int32) * tile
-    lo = jnp.searchsorted(p, tstarts, side="left").astype(jnp.int32)
+    lo = jnp.zeros_like(tstarts)
+    hi = jnp.full_like(tstarts, n)
+    for _ in range(max(int(n).bit_length(), 1)):
+        mid = (lo + hi) >> 1
+        v = mid + dist[jnp.minimum(mid, n - 1)]
+        ge = v >= tstarts
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
     lo = jnp.concatenate([lo, jnp.full((1,), n, jnp.int32)])
 
     # pad inputs so every aligned window DMA is in range
