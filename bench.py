@@ -272,7 +272,7 @@ def main():
         "tier_16k": tier16,
         "tier_1m": tier1m,
         "tier_4m": tier4m,
-        "note": "vs_baseline = pandas Series.str wall time / device-resident time; per-op GBps = logical bytes (bench._op_bytes) / resident time; roofline_pct vs 819 GB/s v5e HBM; e2e_* includes the axon relay transport (~13 MB/s tunnel, BASELINE.md)",
+        "note": "vs_baseline = pandas Series.str wall time / device-resident time; per-op GBps = logical bytes (bench._op_bytes) / resident time; roofline_pct vs 819 GB/s v5e HBM; e2e_* includes the axon relay transport (~13 MB/s tunnel, BASELINE.md). Per-column precomputes (tail plane, padded char matrix) ride as resident args where production memoizes them on the column (budget-gated); charmatrix measures the view build as its own line",
     }
     # Full detail first (and to a file), compact headline LAST: the
     # driver records only the final ~2000 chars of output, and round-4's
