@@ -457,3 +457,39 @@ def test_case_multicodepoint_first_char_rule():
 
     got = nvs.to_device(["ß", "ŉo", "ΐ", "straße"]).upper().to_host()
     assert got == ["S", "ʼO", "Ι", "STRASE"]
+
+
+def test_replace_growth_variants():
+    """Size-changing literal replace across writers: grow stream
+    (unbordered, growth 1 and >1), shrink in-place compaction, quota,
+    and bordered patterns (general plan route)."""
+    import numpy as np
+
+    from custrings_tpu.column import from_host_strings, to_host_strings
+    from custrings_tpu.ops import modify
+
+    rng = np.random.default_rng(9)
+    al = list("ab the x,aa")
+    lines = [
+        "".join(rng.choice(al, size=rng.integers(0, 28)))
+        for _ in range(120)
+    ] + ["", "thethethe", "the", None, "ththe the", "theth", "aaaa"]
+    col = from_host_strings(lines)
+    cases = [
+        ("the", "THEE", -1),    # grow stream, growth 1
+        ("the", "THEEEE", -1),  # grow stream, growth 3 (cummax gap fill)
+        ("the", "T", -1),       # shrink in-place
+        ("the", "", -1),        # delete
+        ("the", "THEE", 1),     # quota -> general plan route
+        ("aa", "XXX", -1),      # bordered pattern -> general plan route
+    ]
+    for pat, rep, n in cases:
+        got = to_host_strings(modify.replace_literal(col, pat, rep, n))
+        exp = [
+            s.replace(pat, rep, n if n >= 0 else -1)
+            if s is not None
+            else None
+            for s in lines
+        ]
+        assert got == exp, (pat, rep, n,
+                            [x for x in zip(got, exp) if x[0] != x[1]][:3])

@@ -73,3 +73,35 @@ def test_uncertified_patterns_stay_off_bits():
     m, b, e = dp.spans_single(chars, lens, jnp.zeros(1, jnp.int32))
     # reference priority semantics: 'a' wins at [1, 2)
     assert bool(m[0]) and int(b[0]) == 1 and int(e[0]) == 2
+
+
+def test_findall_rides_bits_router():
+    """Multi-match ops through all_spans' round loop with the bit engine
+    forced on (interpret): parity vs Python re."""
+    import re as pyre
+
+    import jax
+
+    from custrings_tpu.column import from_host_strings, to_host_strings
+    from custrings_tpu.regex import ops as rx
+
+    lines = [
+        "a@b c@d", "the that ththat", "", "x@y@z w@v", "no match",
+        "user@host and other@site!", "thethe", None, "a@b",
+    ]
+    col = from_host_strings(lines)
+    for pat in (r"(\w+)@(\w+)", "the|that"):
+        fa = rx.findall_record(col, pat)
+        toks = to_host_strings(fa.tokens)
+        ro = jax.device_get(fa.row_offsets)
+        got = [
+            toks[ro[i]:ro[i + 1]] if lines[i] is not None else None
+            for i in range(len(lines))
+        ]
+        exp = [
+            [m.group(0) for m in pyre.finditer(pat, s)]
+            if s is not None
+            else None
+            for s in lines
+        ]
+        assert got == exp, (pat, got, exp)
